@@ -1,0 +1,399 @@
+"""Blockifier: DOM -> ordered Block sequence.
+
+Pure-Python/NumPy re-derivation (NOT a port) of the reference Cython
+blockifier ``/root/reference/dragnet/blocks.pyx``.  Semantics are pinned by
+the reference's own unit vectors (``test/test_kohlschuetter.py``,
+``test/test_blocks.py``) which we carry as pytest cases.
+
+Key reference semantics reproduced here:
+
+* block boundaries: tags in :data:`BLOCKS` start a new block
+  (``blocks.pyx:628-639``); tags in :data:`BLACKLIST` are skipped except
+  their tail text (``blocks.pyx:622-626``); ``<a>`` subtrees are inlined
+  into both block text and link tokens (``add_anchor``,
+  ``blocks.pyx:485-515``); all other tags are transparent
+  (``blocks.pyx:647-654``)
+* whitespace tokenization on exactly ``' \\t\\n\\r\\f\\v'``
+  (``_tokens_from_text``, ``blocks.pyx:106-133``); block text is the
+  single-space join of tokens (``blocks.pyx:432``)
+* link/text densities computed over UTF-8 *bytes* with the byte-level
+  ``[\\W_]+`` splitter that keeps empty strings (``blocks.pyx:435-447``)
+* tagcount state machine (``TagCountPB``, ``blocks.pyx:693-774``)
+* readability bookkeeping: preorder tag ids (entering a subtree with
+  children burns one id before the first child, ``blocks.pyx:601-614``),
+  ancestors written at the *previous* block boundary
+  (``reinit_readability``, ``blocks.pyx:578-579``), once-only class
+  weights (``readability_score_node``, ``blocks.pyx:537-576``)
+* blocks kept by ``add_block`` when they have any non-whitespace token;
+  final output filtered to blocks containing a word character
+  (``RE_TEXT``, ``blocks.pyx:40,860``) -- the two filters differ, and
+  punctuation-only blocks consume readability class weights (reference
+  behavior, reproduced)
+"""
+
+from __future__ import annotations
+
+import codecs
+import math
+import re
+import sys
+
+from .htmlparse import BlockifyError, Node, parse_html
+
+__all__ = [
+    'Block', 'BlockifyError', 'blockify', 'guess_encoding',
+    'simple_tokenizer', 'BLOCKS', 'BLACKLIST',
+]
+
+# -- constants (blocks.pyx:34-103) ---------------------------------------
+
+RE_HTML_ENCODING = re.compile(
+    br'<\s*meta[^>]+charset\s*?=\s*?[\'"]?([^>]*?)[ /;\'">]', flags=re.IGNORECASE)
+RE_XML_ENCODING = re.compile(
+    br'^<\?.*?encoding\s*?=\s*?[\'"](.*?)[\'"].*?\?>', flags=re.IGNORECASE)
+RE_TEXT = re.compile(r'[^\W_]+', flags=re.UNICODE)
+re_tokenizer = re.compile(r'[\W_]+', re.UNICODE)
+re_tokenizer_bytes = re.compile(br'[\W_]+')
+
+BLACKLIST = frozenset({
+    'applet', 'area', 'base', 'basefont', 'bdo', 'button',
+    'caption', 'fieldset', 'fram', 'frameset',
+    'iframe', 'img', 'input', 'legend', 'link', 'menu', 'meta',
+    'noframes', 'noscript', 'object', 'optgroup', 'option', 'param',
+    'script', 'select', 'style', 'textarea', 'var', 'xmp',
+    'like', 'like-box', 'plusone',
+    'svg', 'math',
+})
+
+BLOCKS = frozenset({'h1', 'h2', 'h3', 'h4', 'h5', 'h6', 'p', 'div', 'table', 'map'})
+
+re_readability_negative = re.compile(
+    'combx|comment|com-|contact|foot|footer|footnote|masthead|media|meta'
+    '|outbrain|promo|related|scroll|shoutbox|sidebar|sponsor|shopping'
+    '|tags|tool|widget', re.I)
+re_readability_positive = re.compile(
+    'article|body|content|entry|hentry|main|page|pagination|post|text'
+    '|blog|story', re.I)
+
+READABILITY_PLUS3 = frozenset({'pre', 'td', 'blockquote'})
+READABILITY_MINUS3 = frozenset({'address', 'ol', 'ul', 'dl', 'dd', 'dt', 'li', 'form'})
+READABILITY_MINUS5 = frozenset({'h1', 'h2', 'h3', 'h4', 'h5', 'h6', 'th'})
+
+_WS_SPLIT = re.compile(r'[ \t\n\r\f\v]+')
+_CSS_ATTRIBS = ('id', 'class')
+
+
+def simple_tokenizer(x):
+    """``[\\W_]+`` unicode split dropping empties (blocks.pyx:45-46)."""
+    return [ele for ele in re_tokenizer.split(x) if len(ele) > 0]
+
+
+def _tokens_from_text(fragments):
+    """Split each text fragment on the reference's 6 whitespace chars
+    (blocks.pyx:106-133); UTF-8 multibyte chars never contain those bytes,
+    so the str-level split is byte-exact."""
+    out = []
+    for frag in fragments:
+        for tok in _WS_SPLIT.split(frag):
+            if tok:
+                out.append(tok)
+    return out
+
+
+def guess_encoding(markup: bytes, default='utf-8'):
+    """Sniff encoding from XML decl (first 1 KiB) then meta charset
+    (first max(2 KiB, 5% len)); blocks.pyx:777-795.  chardet path dropped
+    (not available); callers fall back to the try-decode cascade."""
+    xml_endpos = 1024
+    html_endpos = max(2048, int(len(markup) * 0.05))
+    mo = RE_XML_ENCODING.search(markup, endpos=xml_endpos)
+    if mo:
+        return mo.group(1)
+    moh = RE_HTML_ENCODING.search(markup, endpos=html_endpos)
+    if moh:
+        return moh.group(1)
+    return default
+
+
+def decode_html(markup: bytes, encoding=None) -> str:
+    """Bytes -> str using sniffed encoding with a repair cascade.
+
+    Replaces the reference's libxml2-internal decoding; invalid bytes are
+    replaced rather than truncating the parse (documented divergence)."""
+    enc = encoding or guess_encoding(markup)
+    if isinstance(enc, bytes):
+        enc = enc.decode('ascii', 'replace')
+    for candidate in (enc, 'utf-8', 'iso-8859-1'):
+        try:
+            codecs.lookup(candidate)
+        except (LookupError, TypeError):
+            continue
+        try:
+            return markup.decode(candidate)
+        except (UnicodeDecodeError, UnicodeError):
+            continue
+    return markup.decode('utf-8', 'replace')
+
+
+class Block:
+    """One ordered text block (blocks.pyx:136-145)."""
+
+    __slots__ = ('text', 'link_density', 'text_density', 'link_tokens',
+                 'css', 'features')
+
+    def __init__(self, text, link_density, text_density, link_tokens, css,
+                 features):
+        self.text = text
+        self.link_density = link_density
+        self.text_density = text_density
+        self.link_tokens = link_tokens
+        self.css = css
+        self.features = features
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        return '<Block %r>' % (self.text[:40],)
+
+
+class _Walker:
+    """State machine equivalent of PartialBlock/TagCountPB."""
+
+    def __init__(self, do_tagcount, do_css, do_readability, tag_id_base=0):
+        self.do_tagcount = do_tagcount
+        self.do_css = do_css
+        self.do_readability = do_readability
+        self.results = []
+        # partial block accumulators
+        self.text = []
+        self.link_tokens = []
+        self.css = {a: [] for a in _CSS_ATTRIBS}
+        self.block_start_tag = ''
+        # readability (blocks.pyx:307-324)
+        self.tag_id = tag_id_base
+        self.next_tag_id = tag_id_base + 1
+        self.ancestors = []
+        self.ancestors_write = []
+        self.class_weights_written = set()
+        self.class_weights = []
+        # tagcount (blocks.pyx:714-732)
+        self._tc = 1
+        self._ac = 0
+        self._tc_lb = 0
+        self._depth = 0
+        self._min_depth_lb = 0
+        self._min_depth_pending = 0
+
+    # -- feature hooks -----------------------------------------------------
+    def _subtree_fe(self, delta):
+        if self.do_readability:
+            if delta == 1:
+                self.ancestors.append(self.tag_id)
+            else:
+                self.tag_id = self.ancestors[-1]
+                self.ancestors.pop()
+        if self.do_tagcount:
+            self._depth += delta
+            if self._depth < self._min_depth_pending:
+                self._min_depth_pending = self._depth
+
+    def _tag_fe(self, tag):
+        if self.do_tagcount:
+            self._tc += 1
+            if tag == 'a':
+                self._ac += 1
+            if tag not in BLOCKS:
+                self._min_depth_lb = self._min_depth_pending
+
+    def _score_node(self, node):
+        # readability_score_node, blocks.pyx:537-576
+        if self.tag_id in self.class_weights_written:
+            return
+        weight = 0
+        for attrib in _CSS_ATTRIBS:
+            val = node.attrs.get(attrib)
+            if val is not None:
+                if re_readability_negative.search(val):
+                    weight -= 25
+                if re_readability_positive.search(val):
+                    weight += 25
+        tag = node.tag
+        if tag == 'div':
+            weight += 5
+        elif tag in READABILITY_PLUS3:
+            weight += 5
+        elif tag in READABILITY_MINUS3:
+            weight -= 3
+        elif tag in READABILITY_MINUS5:
+            weight -= 5
+        self.class_weights.append((self.tag_id, weight))
+        self.class_weights_written.add(self.tag_id)
+
+    # -- block emission ------------------------------------------------------
+    def _tagcount_features(self, append):
+        # TagCountPB.tagcount, blocks.pyx:742-765
+        if append:
+            ret = {
+                'tagcount_since_last_block': self._tc_lb,
+                'tagcount': self._tc - 1,
+                'anchor_count': self._ac,
+                'min_depth_since_last_block': self._min_depth_lb,
+            }
+            self._tc_lb = 0
+            self._tc = 1
+            self._ac = 0
+            self._min_depth_pending = self._depth
+            self._min_depth_lb = self._depth
+            return ret
+        self._tc_lb += self._tc - 1
+        self._tc = 1
+        self._ac = 0
+        return None
+
+    def add_block(self):
+        # add_block_to_results, blocks.pyx:422-467
+        block_tokens = _tokens_from_text(self.text)
+        if block_tokens:
+            block_text = ' '.join(block_tokens)
+            link_text = ' '.join(self.link_tokens)
+            btext_b = block_text.encode('utf-8')
+            at = re_tokenizer_bytes.split(link_text.encode('utf-8'))
+            bt = re_tokenizer_bytes.split(btext_b)
+            link_d = float(len(at)) / len(bt)
+            lines = int(math.ceil(len(btext_b) / 80.0))
+            if lines == 1:
+                text_d = float(len(bt))
+            else:
+                tokens = re_tokenizer_bytes.split(btext_b[:(lines - 1) * 80])
+                text_d = len(tokens) / (lines - 1.0)
+            css = None
+            if self.do_css:
+                css = {
+                    a: ' '.join(_tokens_from_text(self.css[a])).lower()
+                    for a in _CSS_ATTRIBS
+                }
+            features = {}
+            if self.do_readability:
+                features['ancestors'] = list(self.ancestors_write)
+                features['readability_class_weights'] = list(self.class_weights)
+                self.class_weights = []
+            if self.do_tagcount:
+                features.update(self._tagcount_features(True))
+            features['block_start_tag'] = self.block_start_tag
+            self.results.append(Block(
+                block_text, link_d, text_d, list(self.link_tokens),
+                css or {}, features))
+        else:
+            if self.do_tagcount:
+                self._tagcount_features(False)
+        # reinit (blocks.pyx:363-367,466-468)
+        self.text = []
+        self.link_tokens = []
+        if self.do_readability:
+            self.ancestors_write = list(self.ancestors)
+        if self.do_css:
+            self.css = {a: [] for a in _CSS_ATTRIBS}
+
+    # -- DOM traversal ------------------------------------------------------
+    def _update_css(self, node):
+        for attrib in _CSS_ATTRIBS:
+            val = node.attrs.get(attrib)
+            if val is not None:
+                self.css[attrib].append(val)
+
+    def _add_text(self, node, which):
+        t = node.text if which == 'text' else node.tail
+        if t is not None:
+            self.text.append(t)
+
+    def _anchor_text(self, node, tail, out):
+        # _text_from_subtree, blocks.pyx:155-216
+        if node.text is not None:
+            out.append(node.text)
+        for child in node.children:
+            self._tag_fe(child.tag)
+            if child.tag not in BLACKLIST:
+                self._anchor_text(child, True, out)
+            elif child.tail is not None:
+                out.append(child.tail)
+        if tail and node.tail is not None:
+            out.append(node.tail)
+
+    def _add_anchor(self, node):
+        # add_anchor, blocks.pyx:485-515
+        anchor_text = []
+        self._anchor_text(node, False, anchor_text)
+        self.text.extend(anchor_text)
+        if node.tail is not None:
+            self.text.append(node.tail)
+        self.link_tokens.extend(_tokens_from_text(anchor_text))
+
+    def recurse(self, subtree):
+        # blocks.pyx:581-662
+        self._subtree_fe(1)
+        if self.do_readability:
+            self._score_node(subtree)
+
+        children = subtree.children
+        if children:
+            self.tag_id = self.next_tag_id
+            self.next_tag_id += 1
+
+        for node in children:
+            self.tag_id = self.next_tag_id
+            self.next_tag_id += 1
+            tag = node.tag
+            self._tag_fe(tag)
+
+            if tag in BLACKLIST:
+                self._add_text(node, 'tail')
+            elif tag in BLOCKS:
+                self.add_block()
+                self.block_start_tag = tag
+                self._add_text(node, 'text')
+                if self.do_css:
+                    self._update_css(node)
+                self.recurse(node)
+                self._add_text(node, 'tail')
+            elif tag == 'a':
+                self._add_anchor(node)
+                if self.do_css:
+                    self._update_css(node)
+            else:
+                self._add_text(node, 'text')
+                if self.do_css:
+                    self._update_css(node)
+                self.recurse(node)
+                self._add_text(node, 'tail')
+
+        self._subtree_fe(-1)
+
+
+def blocks_from_tree(tree: Node, do_tagcount=True, do_css=False,
+                     do_readability=True, tag_id_base=0):
+    """Walk a parsed tree; return (all blocks incl. wordless, next_tag_id)."""
+    walker = _Walker(do_tagcount, do_css, do_readability, tag_id_base)
+    if sys.getrecursionlimit() < 2 * 512:
+        sys.setrecursionlimit(2048)
+    walker.recurse(tree)
+    walker.add_block()
+    return walker.results, walker.next_tag_id
+
+
+def blockify(html, encoding=None, do_tagcount=True, do_css=False,
+             do_readability=True, tag_id_base=0, return_next_tag_id=False):
+    """HTML (str or bytes) -> ordered list of :class:`Block`.
+
+    Default flags match the reference's shipped default blockifier
+    ``TagCountNoCSSReadabilityBlockifier`` (extractor.py:40,
+    blocks.pyx:884-889).  Raises :class:`BlockifyError` on unparseable
+    input.  ``tag_id_base`` offsets readability tag ids so multiple runs
+    of one document (media-split spans) share a tag-id namespace.
+    """
+    if isinstance(html, bytes):
+        html = decode_html(html, encoding)
+    tree = parse_html(html)
+    all_blocks, next_id = blocks_from_tree(
+        tree, do_tagcount, do_css, do_readability, tag_id_base)
+    kept = [b for b in all_blocks if RE_TEXT.search(b.text)]
+    if return_next_tag_id:
+        return kept, next_id
+    return kept
