@@ -1,0 +1,267 @@
+"""Deterministic synthetic span-document corpus (FIXTURES.md §1-2).
+
+Builds the BASELINE.json ``input_hint`` table
+``(doc_id:string, spans:array<struct<kind,text,media_ref,offset:int32>>)``
+plus a per-document gold table, from the driver-generated
+``documents.parquet`` text -- no external data, no wall-clock, no RNG
+(every choice is keyed off ``md5(doc_id)``).
+
+Documents are rendered as boilerplate-laden HTML shaped like the
+reference's test corpus (``test/datafiles/HTML/page_for_testing.html``):
+nav chrome, an ``<h1>``, a content div of ``<p>``/``<blockquote>`` blocks
+with one inline anchor, a comments div with a spam link, a link-only
+footer.  ~1/3 of documents carry interleaved ``media`` spans (dragnet
+blacklists ``img`` -- media bypasses classification and must reappear
+verbatim, SURVEY.md §7).  The HTML is split into several text spans at
+deterministic offsets to exercise span reassembly.
+
+Skew (FIXTURES.md §6): ~30% of doc_ids share one host prefix so the
+shuffle/salting machinery has something real to chew on.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+
+SPANS_SCHEMA = pa.schema([
+    ('doc_id', pa.string()),
+    ('spans', pa.list_(pa.struct([
+        ('kind', pa.string()),
+        ('text', pa.string()),
+        ('media_ref', pa.string()),
+        ('offset', pa.int32()),
+    ]))),
+])
+
+GOLD_SCHEMA = pa.schema([
+    ('doc_id', pa.string()),
+    ('content_text', pa.string()),
+    ('comments_text', pa.string()),
+])
+
+NAV_HTML = ('<div class="nav"><a href="/">Home</a> <a href="/news">News</a> '
+            '<a href="/about">About</a> <a href="/contact">Contact</a></div>')
+FOOTER_HTML = ('<div class="footer"><a href="/terms">Terms of use</a> '
+               '<a href="/privacy">Privacy policy</a></div>')
+SIDEBAR_HTML = ('<div class="sidebar widget"><a href="/top">Top stories</a> '
+                '<a href="/trending">Trending now</a> '
+                '<a href="/popular">Most popular posts</a></div>')
+COMMENT_SPAM = '<a href="http://spam.example/win">click here to win</a>'
+
+_WS = re.compile(r'\s+')
+
+
+def _norm(s):
+    return ' '.join(t for t in _WS.split(s) if t)
+
+
+def _h(s, mod):
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:4], 'big') % mod
+
+
+def _sentences(text, doc_key):
+    parts = [p.strip() for p in re.split(r'(?<=[.!?])\s+', text) if p.strip()]
+    if not parts:
+        parts = ['empty document body %s' % doc_key]
+    return parts
+
+
+def make_document(doc_id: str, text: str):
+    """One deterministic span-doc + gold pair.
+
+    Returns (spans, content_text, comments_text) where spans is a list of
+    (kind, text, media_ref, offset) tuples.
+    """
+    sents = _sentences(text, doc_id)
+    # deal sentences round-robin: title, 2-4 paragraphs, quote, 1-2 comments
+    n_paras = 2 + _h(doc_id + ':np', 3)           # 2..4
+    n_comments = 1 + _h(doc_id + ':nc', 2)        # 1..2
+    title = _norm(_norm(sents[0])[:80]) or 'Untitled'
+
+    paras = [[] for _ in range(n_paras)]
+    quote = []
+    comments = [[] for _ in range(n_comments)]
+    pool = sents[1:] or sents
+    for i, s in enumerate(pool):
+        slot = i % (n_paras + 1 + n_comments)
+        if slot < n_paras:
+            paras[slot].append(s)
+        elif slot == n_paras:
+            quote.append(s)
+        else:
+            comments[slot - n_paras - 1].append(s)
+    paras = [_norm(' '.join(p)) or ('paragraph %d of %s' % (i, doc_id))
+             for i, p in enumerate(paras)]
+    quote_text = _norm(' '.join(quote))
+    comments = [_norm(' '.join(c)) or ('comment %d on %s' % (i, doc_id))
+                for i, c in enumerate(comments)]
+
+    # content div: paragraphs, one inline anchor inside paragraph 0,
+    # optional blockquote
+    anchor_words = ' '.join(paras[0].split()[:3]) or 'read more here'
+    p0_rest = ' '.join(paras[0].split()[3:])
+    content_parts = ['<h1>%s</h1>' % title, '<div id="content" class="article">']
+    content_parts.append(
+        '<p><a href="/story/%s">%s</a> %s</p>' % (_h(doc_id, 10 ** 6),
+                                                  anchor_words, p0_rest))
+    for p in paras[1:]:
+        content_parts.append('<p>%s</p>' % p)
+    if quote_text:
+        content_parts.append('<blockquote>%s</blockquote>' % quote_text)
+    content_parts.append('</div>')
+    content_html = '\n'.join(content_parts)
+
+    comment_divs = ''.join(
+        '<div id="comment%d"><p>%s%s</p></div>'
+        % (i, c, (' ' + COMMENT_SPAM) if i == 0 and _h(doc_id + ':spam', 2) else '')
+        for i, c in enumerate(comments))
+    comments_html = '<div class="begin_comments">%s</div>' % comment_divs
+
+    html_head = '<html><body>\n' + NAV_HTML + '\n'
+    html_tail = '\n'.join(['', SIDEBAR_HTML, comments_html, FOOTER_HTML,
+                           '</body></html>'])
+
+    # gold: what the blockifier emits for the content region, normalized.
+    # anchor text joins its block (blocks.pyx:485-515) so paragraph 0 is
+    # intact; h1 and each paragraph is one block; blockquote is NOT a
+    # block boundary (not in BLOCKS) so its text joins the preceding
+    # paragraph's block -- cf. the reference big-html vector
+    # ('Second paragraph Insert a block quote here').
+    gold_lines = [title] + [_norm(p) for p in paras]
+    if quote_text:
+        gold_lines[-1] = gold_lines[-1] + ' ' + quote_text
+    gold_content = '\n'.join(gold_lines)
+    gold_comments = '\n'.join(comments)
+
+    # spans: split deterministically; ~1/3 of docs get media spans which
+    # act as hard run boundaries between top-level sections
+    has_media = _h(doc_id + ':media', 3) == 0
+    spans = []
+
+    def add_text(fragment):
+        # split long fragments into 1-3 spans at whitespace boundaries
+        n = 1 + _h(doc_id + str(len(spans)), 3) if len(fragment) > 120 else 1
+        step = max(1, len(fragment) // n)
+        pos = 0
+        for k in range(n):
+            end = len(fragment) if k == n - 1 else fragment.rfind(' ', pos, pos + step)
+            if end <= pos:
+                end = len(fragment)
+            spans.append(('text', fragment[pos:end], '', len(spans)))
+            pos = end
+            if pos >= len(fragment):
+                break
+
+    add_text(html_head + content_html)
+    if has_media:
+        n_media = 1 + _h(doc_id + ':nm', 2)
+        for m in range(n_media):
+            spans.append(('media', '', 'img://%s/%d.jpg' % (doc_id, m),
+                          len(spans)))
+    add_text(html_tail)
+    return spans, gold_content, gold_comments
+
+
+# coverage docs for every blockifier edge case (FIXTURES.md §1)
+EDGE_DOCS = [
+    ('edge/script-style', '<div>some text <script>var x = "<div>skip</div>";'
+     '</script><style>.x{}</style> more text here</div>'
+     '<div>closing paragraph of content</div>', 'some text more text here'
+     '\nclosing paragraph of content'),
+    ('edge/nested-blocks', '<div>outer <p>inner paragraph block</p>'
+     '<div>nested div text <div>deeper</div>tail</div></div>',
+     'outer\ninner paragraph block\nnested div text\ndeeper tail'),
+    ('edge/img-anchor', '<div>an image link <a href="."><img src="x.jpg">'
+     '</a> there</div><p>real content paragraph</p><p>closing words</p>',
+     'an image link there\nreal content paragraph\nclosing words'),
+    ('edge/unicode', '<div>δογ report</div><p>été du texte français</p>'
+     '<p>报道一出 中文内容</p>', 'δογ report\nété du texte français'
+     '\n报道一出 中文内容'),
+    ('edge/punct-only', '<div> .! </div><p>actual words</p><p> ! _ </p>'
+     '<p>more words</p>', '.!\nactual words\nmore words'),
+    ('edge/unparseable', '<!--', ''),
+    ('edge/too-few-blocks', '<div>only one tiny block</div>', ''),
+]
+
+
+def synthesize_batches(doc_batch, amplification=1):
+    """documents.parquet RecordBatch -> (spans RecordBatch, gold RecordBatch).
+
+    Pure function of the input rows (executor-safe, order-independent).
+    """
+    doc_ids = doc_batch.column('doc_id').to_pylist()
+    texts = doc_batch.column('text').to_pylist()
+    span_rows, gold_rows = [], []
+    for did, text in zip(doc_ids, texts):
+        for rep in range(amplification):
+            h = _h('%s:%d' % (did, rep), 10)
+            host = 'h000' if h < 3 else 'h%03d' % (1 + _h('%s:%d:host' % (did, rep), 97))
+            sid = '%s/doc-%08d-%d' % (host, did, rep)
+            spans, gold_c, gold_m = make_document(sid, text or '')
+            span_rows.append({'doc_id': sid, 'spans': [
+                {'kind': k, 'text': t, 'media_ref': m, 'offset': o}
+                for k, t, m, o in spans]})
+            gold_rows.append({'doc_id': sid, 'content_text': gold_c,
+                              'comments_text': gold_m})
+    spans_rb = pa.RecordBatch.from_pylist(span_rows, schema=SPANS_SCHEMA)
+    gold_rb = pa.RecordBatch.from_pylist(gold_rows, schema=GOLD_SCHEMA)
+    return spans_rb, gold_rb
+
+
+def edge_doc_rows():
+    """The fixed edge-case docs as (span_rows, gold_rows) pylists."""
+    span_rows, gold_rows = [], []
+    for sid, html, gold in EDGE_DOCS:
+        span_rows.append({'doc_id': sid, 'spans': [
+            {'kind': 'text', 'text': html, 'media_ref': '', 'offset': 0}]})
+        gold_rows.append({'doc_id': sid, 'content_text': gold,
+                          'comments_text': ''})
+    return span_rows, gold_rows
+
+
+def synthesize_corpus(spark, sf_dir, amplification=1, include_edge_docs=True):
+    """Distributed corpus synthesis: returns (spans_df, gold_df).
+
+    One narrow mapInArrow over the parquet scan -- no shuffle; Catalyst
+    prunes to (doc_id, text) at the scan (ReadSchema).
+    """
+    import pyspark.sql.types as T
+
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet').select('doc_id', 'text')
+
+    spans_type = T.StructType([
+        T.StructField('doc_id', T.StringType()),
+        T.StructField('spans', T.ArrayType(T.StructType([
+            T.StructField('kind', T.StringType()),
+            T.StructField('text', T.StringType()),
+            T.StructField('media_ref', T.StringType()),
+            T.StructField('offset', T.IntegerType()),
+        ]))),
+    ])
+    gold_type = T.StructType([
+        T.StructField('doc_id', T.StringType()),
+        T.StructField('content_text', T.StringType()),
+        T.StructField('comments_text', T.StringType()),
+    ])
+
+    def gen_spans(batches):
+        for rb in batches:
+            out, _ = synthesize_batches(rb, amplification)
+            yield out
+
+    def gen_gold(batches):
+        for rb in batches:
+            _, out = synthesize_batches(rb, amplification)
+            yield out
+
+    spans_df = docs.mapInArrow(gen_spans, schema=spans_type)
+    gold_df = docs.mapInArrow(gen_gold, schema=gold_type)
+
+    if include_edge_docs:
+        span_rows, gold_rows = edge_doc_rows()
+        spans_df = spans_df.unionByName(spark.createDataFrame(span_rows, spans_type))
+        gold_df = gold_df.unionByName(spark.createDataFrame(gold_rows, gold_type))
+    return spans_df, gold_df
