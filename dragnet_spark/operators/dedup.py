@@ -1,0 +1,216 @@
+"""Deduplication operators: exact, token-Jaccard, MinHash-LSH, SimHash.
+
+The scale story (100 TB corpus):
+
+* exact / fingerprint dedup: one hash-groupBy shuffle on a 32-byte key --
+  the cheapest possible wide op; AQE coalesces the skewless result.
+* n-gram Jaccard (exact verify): explode + self-join is quadratic per
+  shared token; at scale it is only ever run on *candidate pairs* from
+  LSH bucketing, never the full corpus.  The standalone form here doubles
+  as the DuckDB-checkable oracle query.
+* MinHash-LSH: the scale path.  k=32 signatures from JVM-side xxhash64
+  over 3-token shingles, banded 8x4; candidates = bucket groupBy
+  (documents sharing any band), verified with exact Jaccard.  Shuffle
+  volume is O(corpus) rows of (band, 8-byte sig) -- not O(n^2).
+* SimHash: 64-bit signatures via a vectorized Arrow batch (bit-parallel
+  NumPy); near-dup = identical 16-bit chunk (Hamming <= 3 guarantee via
+  4-chunk pigeonhole), bucketed exactly like LSH.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import pyspark.sql.functions as F
+
+from .text_analysis import tokens_col
+
+# -- exact ------------------------------------------------------------------
+
+
+def exact_duplicates(df, text_col='text'):
+    """md5-groupBy exact dedup: every doc with its duplicate-group size and
+    the group's canonical (min) doc_id."""
+    sig = F.md5(F.col(text_col)).alias('content_sig')
+    groups = (df.select(F.col('doc_id'), sig)
+              .groupBy('content_sig')
+              .agg(F.count('*').alias('dup_count'),
+                   F.min('doc_id').alias('canonical_doc_id')))
+    return groups
+
+
+# -- exact token-set Jaccard (oracle-checkable pair join) --------------------
+
+
+def jaccard_pairs(df, text_col='text', threshold=0.8):
+    """All doc pairs with token-set Jaccard >= threshold.
+
+    Pure ANSI shape (explode -> self-join -> group) so DuckDB can verify;
+    the LSH operators below are the at-scale replacements.
+    """
+    toks = (df.select(
+        'doc_id',
+        F.array_distinct(tokens_col(F.col(text_col), lower=True)).alias('t'))
+        .withColumn('n', F.size('t')))
+    ex = toks.select('doc_id', 'n', F.explode('t').alias('tok'))
+    a, b = ex.alias('a'), ex.alias('b')
+    pairs = (a.join(b, (F.col('a.tok') == F.col('b.tok'))
+                    & (F.col('a.doc_id') < F.col('b.doc_id')))
+             .groupBy(F.col('a.doc_id').alias('doc_a'),
+                      F.col('b.doc_id').alias('doc_b'))
+             .agg(F.count('*').alias('inter'),
+                  F.first(F.col('a.n')).alias('na'),
+                  F.first(F.col('b.n')).alias('nb')))
+    jac = (F.col('inter').cast('double')
+           / (F.col('na') + F.col('nb') - F.col('inter')).cast('double'))
+    return (pairs.select('doc_a', 'doc_b', F.round(jac, 6).alias('jaccard'))
+            .where(F.col('jaccard') >= threshold))
+
+
+# -- MinHash-LSH --------------------------------------------------------------
+
+MINHASH_K = 32
+LSH_BANDS = 8
+LSH_ROWS = MINHASH_K // LSH_BANDS
+
+
+def shingles_col(text_col, n=3):
+    """3-token shingles as strings (JVM-side higher-order functions)."""
+    toks = tokens_col(F.lower(text_col))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(' ', F.slice(toks, i + 1, n)))
+    ).otherwise(F.array(F.concat_ws(' ', toks)))
+
+
+def minhash_signatures(df, text_col='text', k=MINHASH_K):
+    """doc_id + k-wide minhash signature, all in whole-stage codegen."""
+    sh = F.array_distinct(shingles_col(F.col(text_col))).alias('shingles')
+    sig = F.array(*[
+        F.array_min(F.transform(
+            F.col('shingles'), lambda s, seed=i: F.xxhash64(s, F.lit(seed))))
+        for i in range(k)]).alias('minhash')
+    return df.select('doc_id', sh).select('doc_id', sig)
+
+
+def minhash_candidates(df, text_col='text', k=MINHASH_K, bands=LSH_BANDS):
+    """Candidate near-dup pairs via banded LSH bucket join."""
+    rows = k // bands
+    sigs = minhash_signatures(df, text_col, k)
+    banded = sigs.select(
+        'doc_id',
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias('band'),
+                     F.xxhash64(F.concat_ws(
+                         ',', *[F.col('minhash')[b * rows + r].cast('string')
+                                for r in range(rows)])).alias('bucket'))
+            for b in range(bands)])).alias('bb'))
+    buckets = (banded
+               .groupBy(F.col('bb.band'), F.col('bb.bucket'))
+               .agg(F.collect_set('doc_id').alias('docs'))
+               .where(F.size('docs') > 1))
+    pairs = (buckets
+             .select(F.explode('docs').alias('doc_a'), 'docs')
+             .select('doc_a', F.explode('docs').alias('doc_b'))
+             .where(F.col('doc_a') < F.col('doc_b'))
+             .distinct())
+    return pairs
+
+
+def minhash_near_duplicates(df, text_col='text', threshold=0.8):
+    """LSH candidates verified with exact *shingle*-set Jaccard (the same
+    similarity the minhash signatures estimate -- order-sensitive, the
+    standard near-dup definition).
+
+    The verify join touches only candidate pairs -- at 100 TB this is the
+    difference between feasible and quadratic.  With 8 bands x 4 rows,
+    P(candidate | jaccard=0.8) = 1-(1-0.8^4)^8 ~= 0.985.
+    """
+    toks = df.select(
+        'doc_id',
+        F.array_distinct(shingles_col(F.col(text_col))).alias('t'))
+    cand = minhash_candidates(df, text_col)
+    joined = (cand
+              .join(toks.select(F.col('doc_id').alias('doc_a'),
+                                F.col('t').alias('ta')), 'doc_a')
+              .join(toks.select(F.col('doc_id').alias('doc_b'),
+                                F.col('t').alias('tb')), 'doc_b'))
+    inter = F.size(F.array_intersect('ta', 'tb')).cast('double')
+    union = (F.size('ta') + F.size('tb')).cast('double') - inter
+    jac = inter / F.greatest(union, F.lit(1.0))
+    return (joined.select('doc_a', 'doc_b', F.round(jac, 6).alias('jaccard'))
+            .where(F.col('jaccard') >= threshold))
+
+
+# -- SimHash -------------------------------------------------------------------
+
+
+def simhash_signatures(df, text_col='text'):
+    """64-bit SimHash per doc, computed bit-parallel in NumPy per Arrow
+    batch (mapInPandas -- the one Python stage in this module; hashing is
+    vectorized via int64 token hashes)."""
+    import pyspark.sql.types as T
+    import numpy as np
+    import zlib
+
+    fields = df.select('doc_id', F.col(text_col).alias('_text'))
+
+    def batches(pdfs):
+        for pdf in pdfs:
+            out_ids, out_sigs = [], []
+            for doc_id, text in zip(pdf['doc_id'], pdf['_text']):
+                toks = [t for t in
+                        ''.join(c if c.isalnum() else ' '
+                                for c in (text or '').lower()).split() if t]
+                if not toks:
+                    out_ids.append(doc_id)
+                    out_sigs.append(0)
+                    continue
+                # deterministic 64-bit token hashes (crc32 pair mix)
+                h = np.fromiter(
+                    ((zlib.crc32(t.encode()) << 32)
+                     | zlib.crc32(t.encode()[::-1]) for t in toks),
+                    dtype=np.uint64, count=len(toks))
+                bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1
+                        ).astype(np.int64)
+                v = (2 * bits - 1).sum(axis=0)
+                sig = np.uint64(0)
+                for b in np.nonzero(v > 0)[0]:
+                    sig |= np.uint64(1) << np.uint64(b)
+                out_ids.append(doc_id)
+                out_sigs.append(int(np.int64(sig)))  # store as signed
+            yield pd.DataFrame({'doc_id': out_ids, 'simhash': out_sigs})
+
+    schema = T.StructType([
+        T.StructField('doc_id', fields.schema['doc_id'].dataType),
+        T.StructField('simhash', T.LongType()),
+    ])
+    return fields.mapInPandas(batches, schema)
+
+
+def simhash_near_duplicates(df, text_col='text'):
+    """Pigeonhole bucketing: two docs within Hamming distance 3 share at
+    least one identical 16-bit chunk; bucket-join on chunks, verify with
+    popcount."""
+    sigs = simhash_signatures(df, text_col)
+    chunks = sigs.select(
+        'doc_id', 'simhash',
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias('chunk'),
+                     F.shiftright('simhash', 16 * c).bitwiseAND(F.lit(0xFFFF))
+                     .alias('val'))
+            for c in range(4)])).alias('cc'))
+    a, b = chunks.alias('a'), chunks.alias('b')
+    cand = (a.join(b, (F.col('a.cc.chunk') == F.col('b.cc.chunk'))
+                   & (F.col('a.cc.val') == F.col('b.cc.val'))
+                   & (F.col('a.doc_id') < F.col('b.doc_id')))
+            .select(F.col('a.doc_id').alias('doc_a'),
+                    F.col('b.doc_id').alias('doc_b'),
+                    F.col('a.simhash').alias('sig_a'),
+                    F.col('b.simhash').alias('sig_b'))
+            .distinct())
+    hamming = F.bit_count(F.col('sig_a').bitwiseXOR(F.col('sig_b')))
+    return (cand.select('doc_a', 'doc_b', hamming.alias('hamming'))
+            .where(F.col('hamming') <= 3))

@@ -1,0 +1,85 @@
+"""Distributed evaluation metrics (SURVEY.md §2.6, E1-E2).
+
+E1 block-level weighted accuracy/P/R/F1: one ``agg()`` of
+``sum(weight * indicator)`` terms -- the sklearn call in
+``model_training.py:19-48`` becomes four JVM-side conditional sums.
+
+E2 token-level bag-of-words P/R/F1 (``util.py:66-114``): per-document
+set intersection sizes via built-in array functions -- no UDF, no
+explode-join shuffle; the whole metric is a narrow map + one final agg.
+
+Both use the dialect-safe ASCII tokenizer pattern so DuckDB oracles can
+replicate them exactly (Java vs RE2 ``\\W`` unicode semantics differ).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+# [\W_]+ restricted to ASCII so Spark (Java regex) and DuckDB (RE2)
+# tokenize identically in oracle-paired queries
+TOKEN_PATTERN = '[^a-zA-Z0-9]+'
+
+
+def _tokens(col):
+    return F.array_remove(F.split(col, TOKEN_PATTERN), '')
+
+
+def block_level_metrics(df, label_col='label', pred_col='pred',
+                        weight_col='weight'):
+    """Weighted accuracy/precision/recall/F1 over a blocks DataFrame."""
+    lab = F.col(label_col)
+    pred = F.col(pred_col)
+    w = F.col(weight_col).cast('double')
+    agg = df.agg(
+        F.sum(F.when((lab == 1) & (pred == 1), w).otherwise(0.0)).alias('tp'),
+        F.sum(F.when((lab == 0) & (pred == 1), w).otherwise(0.0)).alias('fp'),
+        F.sum(F.when((lab == 1) & (pred == 0), w).otherwise(0.0)).alias('fn'),
+        F.sum(F.when((lab == 0) & (pred == 0), w).otherwise(0.0)).alias('tn'),
+    )
+    return agg.select(
+        ((F.col('tp') + F.col('tn'))
+         / (F.col('tp') + F.col('fp') + F.col('fn') + F.col('tn'))
+         ).alias('accuracy'),
+        (F.col('tp') / F.greatest(F.col('tp') + F.col('fp'), F.lit(1e-300))
+         ).alias('precision'),
+        (F.col('tp') / F.greatest(F.col('tp') + F.col('fn'), F.lit(1e-300))
+         ).alias('recall'),
+        (2 * F.col('tp')
+         / F.greatest(2 * F.col('tp') + F.col('fp') + F.col('fn'),
+                      F.lit(1e-300))).alias('f1'),
+    )
+
+
+def token_f1_per_doc(df, pred_col='content_text', gold_col='content_text_gold'):
+    """Per-document bag-of-words precision/recall/F1 columns."""
+    p = F.array_distinct(_tokens(F.col(pred_col)))
+    a = F.array_distinct(_tokens(F.col(gold_col)))
+    tp = F.size(F.array_intersect(p, a)).cast('double')
+    np_ = F.size(p).cast('double')
+    na = F.size(a).cast('double')
+    precision = F.when(np_ > 0, tp / np_).otherwise(0.0)
+    recall = F.when(na > 0, tp / na).otherwise(0.0)
+    f1 = F.when((precision + recall) > 0,
+                2 * precision * recall / (precision + recall)).otherwise(0.0)
+    return df.select(
+        'doc_id',
+        precision.alias('precision'),
+        recall.alias('recall'),
+        f1.alias('f1'),
+    )
+
+
+def token_f1(extracted_df, gold_df):
+    """Corpus token-level metrics: join extraction to gold, average."""
+    joined = extracted_df.select('doc_id', 'content_text').join(
+        gold_df.select('doc_id',
+                       F.col('content_text').alias('content_text_gold')),
+        'doc_id')
+    per_doc = token_f1_per_doc(joined)
+    return per_doc.agg(
+        F.avg('precision').alias('precision'),
+        F.avg('recall').alias('recall'),
+        F.avg('f1').alias('f1'),
+        F.count('*').alias('n_docs'),
+    )

@@ -1,0 +1,111 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All JVM-side (built-in ``pyspark.sql.functions`` only -- no Python in the
+hot path): token counting, quality scoring, n-gram-heuristic language ID,
+rolling-hash document fingerprinting.  Each has a DuckDB oracle in
+``__spark_entry__.py``; regex patterns are restricted to dialect-safe
+ASCII / explicit-codepoint classes (Java vs RE2 ``\\W`` unicode semantics
+differ).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+TOKEN_PATTERN = '[^a-zA-Z0-9]+'
+CJK_PATTERN = '[\\x{4e00}-\\x{9fff}]'
+
+STOPWORDS = {
+    'en': ['the', 'and', 'of', 'to', 'in', 'is', 'was', 'that', 'for', 'with'],
+    'de': ['der', 'die', 'das', 'und', 'ist', 'nicht', 'mit', 'ein', 'eine', 'zu'],
+    'fr': ['le', 'les', 'et', 'des', 'une', 'est', 'dans', 'pour', 'qui', 'au'],
+    'es': ['el', 'los', 'las', 'que', 'por', 'una', 'es', 'para', 'como', 'su'],
+}
+
+
+def tokens_col(col, lower=False):
+    c = F.lower(col) if lower else col
+    return F.array_remove(F.split(c, TOKEN_PATTERN), '')
+
+
+def token_counts(df, text_col='text'):
+    """Whitespace/punct token counts + distinct counts per document."""
+    toks = tokens_col(F.col(text_col))
+    return df.select(
+        'doc_id',
+        F.size(toks).cast('long').alias('n_tokens'),
+        F.size(F.array_distinct(toks)).cast('long').alias('n_distinct_tokens'),
+        F.length(text_col).cast('long').alias('n_chars_text'),
+    )
+
+
+def quality_scores(df, text_col='text'):
+    """Length / punctuation / stopword-ratio quality features.
+
+    The classic pre-training quality filters (C4-style) as pure column
+    expressions; ratios are per-row int/int divisions so the DuckDB
+    oracle reproduces them bit-exactly.
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    alnum_sp = F.length(F.regexp_replace(text, '[^a-zA-Z0-9 ]', ''))
+    toks = tokens_col(text, lower=True)
+    n_tokens = F.size(toks)
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(toks),
+        F.array(*[F.lit(w) for w in STOPWORDS['en']])))
+    mean_tok = (n_chars.cast('double')
+                / F.greatest(n_tokens, F.lit(1)).cast('double'))
+    return df.select(
+        'doc_id',
+        n_chars.cast('long').alias('n_chars_text'),
+        n_tokens.cast('long').alias('n_tokens'),
+        ((n_chars - alnum_sp).cast('double')
+         / F.greatest(n_chars, F.lit(1)).cast('double')).alias('punct_ratio'),
+        stop_hits.cast('long').alias('en_stopword_hits'),
+        mean_tok.alias('mean_token_len'),
+        ((n_tokens >= 10) & (mean_tok < 12.0)).cast('long').alias('quality_ok'),
+    )
+
+
+def language_id(df, text_col='text'):
+    """Stopword + CJK-ratio language heuristic over (en, de, fr, es, zh).
+
+    Deterministic tie-break: cjk beats all, then en > de > fr > es in
+    fixed priority with >= comparisons.
+    """
+    text = F.col(text_col)
+    toks = F.array_distinct(tokens_col(text, lower=True))
+    hits = {
+        lang: F.size(F.array_intersect(
+            toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in STOPWORDS.items()
+    }
+    cjk = F.length(F.regexp_replace(text, CJK_PATTERN, ''))
+    cjk_ratio = ((F.length(text) - cjk).cast('double')
+                 / F.greatest(F.length(text), F.lit(1)).cast('double'))
+    pred = (
+        F.when(cjk_ratio > 0.2, 'zh')
+        .when((hits['en'] >= hits['de']) & (hits['en'] >= hits['fr'])
+              & (hits['en'] >= hits['es']), 'en')
+        .when((hits['de'] >= hits['fr']) & (hits['de'] >= hits['es']), 'de')
+        .when(hits['fr'] >= hits['es'], 'fr')
+        .otherwise('es'))
+    cols = [F.col('doc_id')]
+    cols += [hits[lang].cast('long').alias('%s_hits' % lang)
+             for lang in STOPWORDS]
+    cols += [F.round(cjk_ratio, 6).alias('cjk_ratio'),
+             pred.alias('pred_lang')]
+    return df.select(*cols)
+
+
+def fingerprints(df, text_col='text'):
+    """Document fingerprints: md5 content signature + a sorted-token-set
+    signature (whitespace/case-insensitive near-exact dedup key)."""
+    toks = F.array_sort(F.array_distinct(tokens_col(F.col(text_col),
+                                                    lower=True)))
+    return df.select(
+        'doc_id',
+        F.md5(F.col(text_col)).alias('content_sig'),
+        F.md5(F.array_join(toks, ' ')).alias('tokenset_sig'),
+    )

@@ -41,6 +41,7 @@ def get_spark(app_name='dragnet-spark', master=None, cores=None,
         .config('spark.sql.execution.arrow.maxRecordsPerBatch',
                 str(ARROW_BATCH_ROWS))
         .config('spark.sql.files.maxPartitionBytes', str(128 * 1024 * 1024))
+        .config('spark.sql.session.timeZone', 'UTC')
         .config('spark.driver.memory',
                 os.environ.get('SPARK_DRIVER_MEMORY', '8g'))
         .config('spark.ui.enabled', 'false')

@@ -1,0 +1,115 @@
+"""Training path tests: LCS labeling, Spark ML fit, metric gates.
+
+Mirrors the reference e2e statistical test (test/test_models.py:21-37:
+token-level F1 >= 0.8) but with a seeded deterministic pipeline -- no
+retries needed (SURVEY.md §5 'what's hard' #4).
+"""
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from dragnet_spark.kernels.metrics import evaluation_metrics
+from dragnet_spark.operators.extract import extract
+from dragnet_spark.operators.labeling import label_document, gold_blocks
+from dragnet_spark.operators.metrics import token_f1, block_level_metrics
+from dragnet_spark.operators.training import train_model, with_split
+from dragnet_spark.sources.synthesis import make_document, synthesize_corpus
+
+
+def _spanify(spans):
+    return [{'kind': k, 'text': t, 'media_ref': m, 'offset': o}
+            for k, t, m, o in spans]
+
+
+class TestLabeling:
+    def test_label_document_recovers_generator_structure(self):
+        text = ('Alpha bravo charlie delta echo foxtrot. Golf hotel india '
+                'juliet kilo lima. Mike november oscar papa quebec romeo. '
+                'Sierra tango uniform victor whiskey xray. Yankee zulu one '
+                'two three four.')
+        spans, gold_c, gold_m = make_document('h001/doc-00000007-0', text)
+        rows = label_document('d', _spanify(spans), gold_c, gold_m)
+        assert rows, 'no blocks labeled'
+        content_rows = [r for r in rows if r['label_content']]
+        # every gold line is fully matched by some content block
+        gold_lines = gold_c.split('\n')
+        matched_texts = [r['text'] for r in content_rows]
+        for line in gold_lines:
+            assert line in matched_texts
+        # nav/footer blocks are labeled boilerplate
+        for r in rows:
+            if 'Home News' in r['text'] or 'Terms of use' in r['text']:
+                assert r['label_content'] == 0
+                assert r['label_comments'] == 0
+        # comments hit the comments label, not content
+        comment_rows = [r for r in rows if r['label_comments']]
+        assert comment_rows
+        for r in comment_rows:
+            assert r['label_content'] == 0
+
+    def test_weight_capped_at_200(self):
+        words = ' '.join('tok%d' % i for i in range(500))
+        html = '<div>%s</div><p>a b c</p><p>d e f</p>' % words
+        rows = label_document(
+            'd', [{'kind': 'text', 'text': html, 'media_ref': '', 'offset': 0}],
+            words, '')
+        assert rows[0]['weight'] == 200
+        assert rows[0]['content_frac'] == 1.0
+
+    def test_too_few_blocks_null_features(self):
+        rows = label_document(
+            'd', [{'kind': 'text', 'text': '<div>only block</div>',
+                   'media_ref': '', 'offset': 0}], 'only block', '')
+        assert len(rows) == 1
+        assert rows[0]['features'] is None
+
+    def test_fracs_match_kernel_metrics(self):
+        # content_frac is an LCS inclusion fraction; for disjoint gold it's 0
+        rows = label_document(
+            'd', [{'kind': 'text',
+                   'text': '<p>aaa bbb ccc</p><p>xxx yyy zzz</p><p>q w e</p>',
+                   'media_ref': '', 'offset': 0}],
+            'aaa bbb ccc', '')
+        assert rows[0]['content_frac'] == 1.0
+        assert rows[1]['content_frac'] == 0.0
+        assert rows[0]['label_content'] == 1
+        assert rows[1]['label_content'] == 0
+
+
+@pytest.mark.spark
+class TestTrainingSpark:
+    def test_train_and_f1_gate(self, spark, sf_dir):
+        spans_df, gold_df = synthesize_corpus(spark, sf_dir)
+        labeled = with_split(gold_blocks(spans_df, gold_df)).cache()
+        model = train_model(labeled.where('is_train = 1'))
+        assert model.coef.shape == (9,)
+
+        test_ids = labeled.where('is_train = 0').select('doc_id').distinct()
+        extracted = extract(spans_df.join(test_ids, 'doc_id'), model=model)
+        row = token_f1(extracted, gold_df).collect()[0]
+        assert row['n_docs'] > 10
+        # the reference e2e gate (test/test_models.py:34)
+        assert row['f1'] >= 0.8, row
+
+    def test_block_metrics_agg_matches_kernel(self, spark):
+        rows = [(1, 1, 10.0), (1, 0, 5.0), (0, 1, 2.0), (0, 0, 20.0),
+                (1, 1, 1.0)]
+        df = spark.createDataFrame(rows, 'label int, pred int, weight double')
+        m = block_level_metrics(df).collect()[0]
+        from dragnet_spark.kernels.metrics import block_level_metrics as k
+        expected = k([r[0] for r in rows], [r[1] for r in rows],
+                     [r[2] for r in rows])
+        for key in ('accuracy', 'precision', 'recall', 'f1'):
+            assert abs(m[key] - expected[key]) < 1e-12
+
+    def test_token_f1_matches_kernel(self, spark):
+        pred = 'skiing sparkling soft snow in soft sun'
+        gold = 'soft snow in soft sun soft turns turns'
+        df_p = spark.createDataFrame([('d1', pred)], 'doc_id string, content_text string')
+        df_g = spark.createDataFrame([('d1', gold)], 'doc_id string, content_text string')
+        row = token_f1(df_p, df_g).collect()[0]
+        p, r, f1 = evaluation_metrics(pred.split(), gold.split())
+        assert abs(row['precision'] - p) < 1e-12
+        assert abs(row['recall'] - r) < 1e-12
+        assert abs(row['f1'] - f1) < 1e-12
