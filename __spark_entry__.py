@@ -171,8 +171,11 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_jaccard_pairs(spark, sf_dir):
+    # exact quadratic form, capped at 1000 docs -- the oracle-checkable
+    # reference for the LSH scale path (minhash_near_duplicates)
     from dragnet_spark.operators.dedup import jaccard_pairs
-    return jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+    docs = _docs(spark, sf_dir).where(F.col('doc_id') < 1000)
+    return jaccard_pairs(docs, threshold=0.8)
 
 
 def q_ann_topk_bruteforce(spark, sf_dir):
@@ -380,6 +383,7 @@ def oracle_sql() -> dict[str, str]:
         'jaccard_pairs': f"""
             WITH toks AS (
               SELECT doc_id, list_distinct({toks_l}) AS t FROM documents
+              WHERE doc_id < 1000
             ), ex AS (
               SELECT doc_id, len(t) AS n, unnest(t) AS tok FROM toks
             ), pairs AS (

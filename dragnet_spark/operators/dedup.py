@@ -74,25 +74,52 @@ LSH_BANDS = 8
 LSH_ROWS = MINHASH_K // LSH_BANDS
 
 
-def shingles_col(text_col, n=3):
-    """3-token shingles as strings (JVM-side higher-order functions)."""
-    toks = tokens_col(F.lower(text_col))
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(' ', F.slice(toks, i + 1, n)))
-    ).otherwise(F.array(F.concat_ws(' ', toks)))
+def shingles_col(toks):
+    """3-token shingles from a *materialized* token array column.
+
+    Built from zip_with over shifted slices -- one traversal, no
+    per-element re-evaluation.  (A transform(sequence(...), i ->
+    slice(toks_expr, ...)) formulation re-inlines the tokenization into
+    every lambda element: 20x slower, measured at sf0.1.)
+    """
+    n = 3
+    toks = F.col(toks) if isinstance(toks, str) else toks
+    s1 = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    s2 = F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(0)))
+    pair = F.zip_with(toks, s1, lambda x, y: F.concat_ws(' ', x, y))
+    trip = F.zip_with(pair, s2,
+                      lambda x, y: F.when(y.isNull(), F.lit(None))
+                      .otherwise(F.concat_ws(' ', x, y)))
+    sh = F.filter(trip, lambda x: x.isNotNull())
+    return F.when(F.size(toks) >= n, sh).otherwise(
+        F.array(F.concat_ws(' ', toks)))
+
+
+def shingle_df(df, text_col='text'):
+    """(doc_id, shingles): tokens materialized first so the shingle
+    expression operates on a column, not a re-evaluated subexpression."""
+    t = df.select('doc_id',
+                  tokens_col(F.lower(F.col(text_col))).alias('_toks'))
+    return t.select('doc_id',
+                    F.array_distinct(shingles_col('_toks')).alias('shingles'))
 
 
 def minhash_signatures(df, text_col='text', k=MINHASH_K):
-    """doc_id + k-wide minhash signature, all in whole-stage codegen."""
-    sh = F.array_distinct(shingles_col(F.col(text_col))).alias('shingles')
-    sig = F.array(*[
-        F.array_min(F.transform(
-            F.col('shingles'), lambda s, seed=i: F.xxhash64(s, F.lit(seed))))
-        for i in range(k)]).alias('minhash')
-    return df.select('doc_id', sh).select('doc_id', sig)
+    """doc_id + k min-hash columns (h0..h{k-1}).
+
+    Shape chosen for codegen: explode shingles once, k flat xxhash64
+    columns, then a groupBy(doc_id) of k ``min`` aggregates -- partial
+    (map-side) aggregation means the shuffle carries only k longs per
+    doc per input partition.  (The nested array_min(transform(...))xK
+    formulation generates pathological whole-stage code.)
+    """
+    sh = shingle_df(df, text_col).select(
+        'doc_id', F.explode('shingles').alias('sh'))
+    hashed = sh.select(
+        'doc_id', *[F.xxhash64('sh', F.lit(i)).alias('h%d' % i)
+                    for i in range(k)])
+    return hashed.groupBy('doc_id').agg(
+        *[F.min('h%d' % i).alias('h%d' % i) for i in range(k)])
 
 
 def minhash_candidates(df, text_col='text', k=MINHASH_K, bands=LSH_BANDS):
@@ -103,9 +130,8 @@ def minhash_candidates(df, text_col='text', k=MINHASH_K, bands=LSH_BANDS):
         'doc_id',
         F.explode(F.array(*[
             F.struct(F.lit(b).alias('band'),
-                     F.xxhash64(F.concat_ws(
-                         ',', *[F.col('minhash')[b * rows + r].cast('string')
-                                for r in range(rows)])).alias('bucket'))
+                     F.xxhash64(*[F.col('h%d' % (b * rows + r))
+                                  for r in range(rows)]).alias('bucket'))
             for b in range(bands)])).alias('bb'))
     buckets = (banded
                .groupBy(F.col('bb.band'), F.col('bb.bucket'))
@@ -128,9 +154,8 @@ def minhash_near_duplicates(df, text_col='text', threshold=0.8):
     difference between feasible and quadratic.  With 8 bands x 4 rows,
     P(candidate | jaccard=0.8) = 1-(1-0.8^4)^8 ~= 0.985.
     """
-    toks = df.select(
-        'doc_id',
-        F.array_distinct(shingles_col(F.col(text_col))).alias('t'))
+    toks = shingle_df(df, text_col).select(
+        'doc_id', F.col('shingles').alias('t'))
     cand = minhash_candidates(df, text_col)
     joined = (cand
               .join(toks.select(F.col('doc_id').alias('doc_a'),

@@ -1,0 +1,114 @@
+"""Per-partition checkpoint manifests + idempotent resume (north rule).
+
+Scale semantics (SURVEY.md §4.4): a 10^12-document run is partitioned by
+doc_id range; every completed partition appends one manifest row
+``(run_id, partition_id, doc_id_min, doc_id_max, n_docs, n_ok, n_failed,
+wall_ms, content_checksum)`` transactionally (Iceberg append on a real
+cluster; atomic-rename parquet part files here -- same append-only
+contract).  A restarted job anti-joins its input against the completed
+ranges and processes only the remainder -- the distributed descendant of
+the reference's skip-already-done resume
+(``/root/reference/dragnet/data_processing.py:53-75``).
+
+The manifest is also the lineage + metrics record: per-range row counts,
+failure counts, and a value checksum that a verifier can re-derive.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import pyspark.sql.functions as F
+
+MANIFEST_SCHEMA = (
+    'run_id string, partition_id int, doc_id_min string, doc_id_max string, '
+    'n_docs long, n_ok long, n_failed long, wall_ms long, '
+    'content_checksum long')
+
+
+def _manifest_dir(base):
+    return os.path.join(base, '_manifest')
+
+
+def read_manifest(spark, base):
+    path = _manifest_dir(base)
+    try:
+        return spark.read.schema(MANIFEST_SCHEMA).parquet(path)
+    except Exception:
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
+
+
+def completed_ranges(spark, base):
+    """Distinct completed doc_id ranges from all prior runs."""
+    return (read_manifest(spark, base)
+            .select('doc_id_min', 'doc_id_max').distinct())
+
+
+def filter_resume(spark, spans_df, base, doc_id_col='doc_id'):
+    """Anti-join input against completed ranges: only unprocessed docs
+    remain.  Ranges are broadcast (manifest rows ~ partition count, tiny
+    next to the corpus)."""
+    ranges = completed_ranges(spark, base)
+    if not ranges.take(1):
+        return spans_df
+    d = F.col(doc_id_col)
+    cond = (d >= F.col('r.doc_id_min')) & (d <= F.col('r.doc_id_max'))
+    return spans_df.alias('s').join(
+        F.broadcast(ranges.alias('r')), cond, 'left_anti')
+
+
+def run_with_checkpoints(extracted_df, base, run_id=None):
+    """Write extraction output + per-partition manifest rows.
+
+    The output rows carry their producing ``partition_id`` and a
+    precomputed row hash, so the manifest aggregation is a column-pruned
+    scan of the just-written data grouped by the *stored* partition id --
+    the manifest and the output cannot disagree, and the second pass
+    never touches the fat content column.
+
+    Correct resume requires range-disjoint partitions and immutable
+    input between attempts; :func:`extract_resumable` enforces the
+    former via repartitionByRange.
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    t0 = time.time()
+    out_path = os.path.join(base, 'extracted')
+    tagged = (extracted_df
+              .withColumn('run_id', F.lit(run_id))
+              .withColumn('partition_id', F.spark_partition_id())
+              .withColumn('_row_hash', F.xxhash64('doc_id', 'content_text')))
+    tagged.write.mode('append').parquet(out_path)
+    wall_ms = int((time.time() - t0) * 1000)
+    # fresh scan restricted to this run (pushed-down filter + column
+    # pruning keep this cheap; earlier appends are other runs' rows)
+    written = (extracted_df.sparkSession.read.parquet(out_path)
+               .where(F.col('run_id') == run_id))
+    manifest = (written
+                .groupBy('run_id', 'partition_id')
+                .agg(F.min('doc_id').alias('doc_id_min'),
+                     F.max('doc_id').alias('doc_id_max'),
+                     F.count('*').alias('n_docs'),
+                     F.sum((F.col('status') == 'ok').cast('long')).alias('n_ok'),
+                     F.sum((F.col('status') != 'ok').cast('long'))
+                     .alias('n_failed'),
+                     F.bit_xor('_row_hash').alias('content_checksum'))
+                .select('run_id', 'partition_id',
+                        'doc_id_min', 'doc_id_max', 'n_docs', 'n_ok',
+                        'n_failed', F.lit(wall_ms).alias('wall_ms'),
+                        'content_checksum'))
+    manifest.write.mode('append').parquet(_manifest_dir(base))
+    return run_id
+
+
+def extract_resumable(spark, spans_df, base, model=None, num_partitions=32):
+    """Resume-aware extraction driver: anti-join completed ranges,
+    range-repartition the remainder (manifest ranges must be disjoint),
+    extract, write + manifest."""
+    from ..operators.extract import extract
+    from ..plans.partitioning import repartition_by_doc_range
+
+    todo = filter_resume(spark, spans_df, base)
+    todo = repartition_by_doc_range(todo, num_partitions)
+    return run_with_checkpoints(extract(todo, model=model), base)

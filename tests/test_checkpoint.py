@@ -1,0 +1,110 @@
+"""Checkpoint manifest + resume semantics, partitioning strategies."""
+
+import pytest
+
+import pyspark.sql.functions as F
+
+
+@pytest.fixture()
+def small_corpus(spark):
+    from dragnet_spark.sources.synthesis import synthesize_corpus
+    spans_df, _ = synthesize_corpus(spark, '/root/testdata/sf0.001',
+                                    include_edge_docs=False)
+    return spans_df.where(F.col('doc_id') < 'h050').cache()
+
+
+@pytest.mark.spark
+class TestCheckpointResume:
+    def test_resume_skips_completed_and_completes_rest(self, spark, tmp_path,
+                                                       small_corpus):
+        from dragnet_spark.sources.checkpoint import (
+            extract_resumable, filter_resume, read_manifest)
+        base = str(tmp_path / 'ckpt')
+        total = small_corpus.count()
+        # a failed run completes a prefix of its doc_id-range partitions;
+        # simulate with a contiguous range (the resume contract: ranges in
+        # the manifest were fully processed, input immutable across runs)
+        mid = sorted(r.doc_id for r in small_corpus.select('doc_id')
+                     .collect())[total // 2]
+        half = small_corpus.where(F.col('doc_id') <= mid)
+
+        # first attempt processes only the range prefix (simulated failure)
+        run1 = extract_resumable(spark, half, base, num_partitions=4)
+        m1 = read_manifest(spark, base)
+        assert m1.where(F.col('run_id') == run1).count() > 0
+        assert m1.agg(F.sum('n_docs')).first()[0] == half.count()
+
+        # resume over the FULL input: completed ranges are skipped
+        todo = filter_resume(spark, small_corpus, base)
+        done_ids = {r.doc_id for r in
+                    spark.read.parquet(base + '/extracted')
+                    .select('doc_id').collect()}
+        todo_ids = {r.doc_id for r in todo.select('doc_id').collect()}
+        assert todo_ids.isdisjoint(done_ids)
+
+        run2 = extract_resumable(spark, small_corpus, base, num_partitions=4)
+        out = spark.read.parquet(base + '/extracted')
+        assert out.select('doc_id').distinct().count() == total
+        # manifests carry disjoint lineage for both runs
+        m2 = read_manifest(spark, base)
+        assert m2.select('run_id').distinct().count() == 2
+        assert m2.agg(F.sum('n_docs')).first()[0] == total
+        assert run1 != run2
+
+    def test_second_resume_is_noop(self, spark, tmp_path, small_corpus):
+        from dragnet_spark.sources.checkpoint import (
+            extract_resumable, filter_resume)
+        base = str(tmp_path / 'ckpt2')
+        extract_resumable(spark, small_corpus, base, num_partitions=4)
+        remaining = filter_resume(spark, small_corpus, base)
+        assert remaining.count() == 0
+
+    def test_manifest_metrics(self, spark, tmp_path):
+        from dragnet_spark.sources.checkpoint import (
+            extract_resumable, read_manifest)
+        from dragnet_spark.sources.synthesis import synthesize_corpus
+        spans_df, _ = synthesize_corpus(spark, '/root/testdata/sf0.001',
+                                        include_edge_docs=True)
+        bad = spans_df.where(F.col('doc_id').startswith('edge/'))
+        base = str(tmp_path / 'ckpt3')
+        extract_resumable(spark, bad, base, num_partitions=2)
+        m = read_manifest(spark, base)
+        agg = m.agg(F.sum('n_docs').alias('d'), F.sum('n_failed').alias('f')
+                    ).first()
+        assert agg['d'] == bad.count()
+        assert agg['f'] >= 2  # unparseable + too-few-blocks edge docs
+
+
+@pytest.mark.spark
+class TestPartitioning:
+    def test_salt_by_host_breaks_hot_host(self, spark, small_corpus):
+        from dragnet_spark.plans.partitioning import salt_by_host
+        out = salt_by_host(small_corpus, 8, salts=8)
+        dist = (out.withColumn('p', F.spark_partition_id())
+                .groupBy('p').count().collect())
+        counts = [r['count'] for r in dist]
+        total = sum(counts)
+        # the hot host owns ~30% of rows (h000); with salting no single
+        # partition should hold more than ~2x the fair share
+        assert max(counts) < 2.5 * total / len(counts) + 8
+
+    def test_range_repartition_disjoint(self, spark, small_corpus):
+        from dragnet_spark.plans.partitioning import repartition_by_doc_range
+        out = repartition_by_doc_range(small_corpus, 4)
+        ranges = (out.withColumn('p', F.spark_partition_id())
+                  .groupBy('p')
+                  .agg(F.min('doc_id').alias('lo'), F.max('doc_id').alias('hi'))
+                  .collect())
+        spans = sorted((r.lo, r.hi) for r in ranges)
+        for (_, hi1), (lo2, _) in zip(spans, spans[1:]):
+            assert hi1 <= lo2
+
+    def test_bucket_by_size(self, spark, small_corpus):
+        from dragnet_spark.plans.partitioning import bucket_by_size, doc_size_bytes
+        sizes = sorted(r[0] for r in small_corpus.select(
+            doc_size_bytes(F.col('spans'))).collect())
+        p90 = sizes[int(0.9 * len(sizes))]
+        normal, outliers = bucket_by_size(small_corpus, 8, outlier_bytes=p90)
+        n, o = normal.count(), outliers.count()
+        assert n + o == small_corpus.count()
+        assert 0 < o <= int(0.15 * (n + o)) + 1
