@@ -10,5 +10,8 @@ __version__ = '0.1.0'
 
 from .kernels.blocks import Block, BlockifyError, blockify  # noqa: F401
 from .model import LogisticModel, default_model, reference_oracle_model  # noqa: F401
-from .operators.extract import extract, process_document  # noqa: F401
+from .operators.extract import (  # noqa: F401
+    extract, extract_comments, extract_content,
+    extract_content_and_comments, process_document,
+)
 from .operators.blocks_df import blockify_df  # noqa: F401

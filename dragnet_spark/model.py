@@ -26,8 +26,7 @@ import numpy as np
 
 from .kernels.features import DEFAULT_FEATURES, n_features
 
-_DEFAULT_MODEL_FILE = os.path.join(
-    os.path.dirname(__file__), 'models', 'content_lr.json')
+_MODELS_DIR = os.path.join(os.path.dirname(__file__), 'models')
 
 
 class LogisticModel:
@@ -89,10 +88,22 @@ def reference_oracle_model():
     return LogisticModel(k + w + r, -1.2071425754440765, prob_threshold=0.5)
 
 
-def default_model():
-    """The shipped content model: trained in-repo on the synthetic gold
-    corpus by ``operators.training.train_and_save_default`` if present,
-    else the reference oracle coefficients."""
-    if os.path.exists(_DEFAULT_MODEL_FILE):
-        return LogisticModel.load(_DEFAULT_MODEL_FILE)
+def default_model(to_extract=('content',)):
+    """The shipped model for a to_extract selector ('content',
+    'comments', or both): trained in-repo on the synthetic gold corpus
+    by ``scripts/train_default_model.py`` if present, else the reference
+    oracle coefficients.  Mirrors the reference's lazily-loaded pickled
+    model registry (``dragnet/__init__.py:6-27``) without the pickle."""
+    if isinstance(to_extract, str):
+        to_extract = (to_extract,)
+    sel = frozenset(to_extract)
+    if sel == {'comments'}:
+        fname = 'comments_lr.json'
+    elif sel == {'content', 'comments'}:
+        fname = 'content_comments_lr.json'
+    else:
+        fname = 'content_lr.json'
+    path = os.path.join(_MODELS_DIR, fname)
+    if os.path.exists(path):
+        return LogisticModel.load(path)
     return reference_oracle_model()

@@ -174,12 +174,33 @@ def make_extract_fn(model, features=DEFAULT_FEATURES):
     return extract_batches
 
 
-def extract(df, model=None, features=DEFAULT_FEATURES):
+def extract(df, model=None, features=DEFAULT_FEATURES,
+            to_extract=('content',)):
     """DataFrame[(doc_id, spans)] -> DataFrame[(doc_id, spans,
     content_text, status)] -- the flagship query.
+
+    ``to_extract`` selects the shipped model ('content', 'comments', or
+    both) when ``model`` is None, mirroring the reference's module-level
+    extractors (``dragnet/__init__.py:9-27``).
 
     Physical plan: Scan -> Project(mapInArrow) -- a single narrow stage;
     verify with ``result.explain('formatted')`` that no Exchange appears.
     """
-    model = model or default_model()
+    model = model or default_model(to_extract)
     return df.mapInArrow(make_extract_fn(model, features), EXTRACTED_DDL)
+
+
+def extract_content(df, model=None):
+    """M6 convenience: main-content extraction (dragnet.extract_content)."""
+    return extract(df, model=model, to_extract=('content',))
+
+
+def extract_comments(df, model=None):
+    """M6 convenience: comments extraction (dragnet.extract_comments)."""
+    return extract(df, model=model, to_extract=('comments',))
+
+
+def extract_content_and_comments(df, model=None):
+    """M6 convenience: combined extraction
+    (dragnet.extract_content_and_comments)."""
+    return extract(df, model=model, to_extract=('content', 'comments'))

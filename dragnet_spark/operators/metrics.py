@@ -70,6 +70,50 @@ def token_f1_per_doc(df, pred_col='content_text', gold_col='content_text_gold'):
     )
 
 
+def evaluate_extracted_tokens(extracted_df, gold_df, max_tokens=2000):
+    """E3 (model_training.py:51-74): per-doc token-set Jaccard (JVM-side)
+    + Damerau-Levenshtein edit distance over token sequences (report-only
+    metric; O(n*m) per doc, so sequences are capped and the kernel runs
+    in one Arrow batch stage)."""
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    from ..kernels.metrics import dameraulevenshtein
+
+    joined = extracted_df.select('doc_id', 'content_text').join(
+        gold_df.select('doc_id',
+                       F.col('content_text').alias('content_text_gold')),
+        'doc_id')
+    p = F.array_distinct(_tokens(F.col('content_text')))
+    a = F.array_distinct(_tokens(F.col('content_text_gold')))
+    inter = F.size(F.array_intersect(p, a)).cast('double')
+    union = F.size(F.array_union(p, a)).cast('double')
+    with_jac = joined.select(
+        'doc_id',
+        F.when(union > 0, inter / union).otherwise(1.0).alias('jaccard'),
+        F.slice(_tokens(F.col('content_text')), 1, max_tokens).alias('_p'),
+        F.slice(_tokens(F.col('content_text_gold')), 1, max_tokens)
+        .alias('_a'))
+
+    schema = T.StructType([
+        T.StructField('doc_id', extracted_df.schema['doc_id'].dataType),
+        T.StructField('jaccard', T.DoubleType()),
+        T.StructField('edit_distance', T.LongType()),
+    ])
+
+    def batches(pdfs):
+        for pdf in pdfs:
+            yield pd.DataFrame({
+                'doc_id': pdf['doc_id'],
+                'jaccard': pdf['jaccard'],
+                'edit_distance': [
+                    dameraulevenshtein(list(pp), list(aa))
+                    for pp, aa in zip(pdf['_p'], pdf['_a'])],
+            })
+
+    return with_jac.mapInPandas(batches, schema)
+
+
 def token_f1(extracted_df, gold_df):
     """Corpus token-level metrics: join extraction to gold, average."""
     joined = extracted_df.select('doc_id', 'content_text').join(

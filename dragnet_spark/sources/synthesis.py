@@ -222,15 +222,25 @@ def edge_doc_rows():
     return span_rows, gold_rows
 
 
-def synthesize_corpus(spark, sf_dir, amplification=1, include_edge_docs=True):
+def synthesize_corpus(spark, sf_dir, amplification=1, include_edge_docs=True,
+                      num_partitions=None):
     """Distributed corpus synthesis: returns (spans_df, gold_df).
 
-    One narrow mapInArrow over the parquet scan -- no shuffle; Catalyst
-    prunes to (doc_id, text) at the scan (ReadSchema).
+    The source parquet is one small file = one input split, but the
+    downstream Arrow stages (synthesis, blockify, featurize) are
+    Python-heavy per row -- parallelism must come from an explicit
+    repartition of the *cheap* doc rows before the fat work, not from
+    file splits.  One tiny round-robin exchange of (doc_id, text) rows,
+    then everything stays narrow.  Catalyst prunes the scan to
+    (doc_id, text) (ReadSchema).
     """
     import pyspark.sql.types as T
 
-    docs = spark.read.parquet(f'{sf_dir}/documents.parquet').select('doc_id', 'text')
+    if num_partitions is None:
+        num_partitions = 2 * spark.sparkContext.defaultParallelism
+    docs = (spark.read.parquet(f'{sf_dir}/documents.parquet')
+            .select('doc_id', 'text')
+            .repartition(num_partitions))
 
     spans_type = T.StructType([
         T.StructField('doc_id', T.StringType()),
