@@ -22,20 +22,34 @@ import numpy as np
 _ALPHA = 3
 
 
+_KERNEL_CACHE = {}
+
+
 def _gaussian_kernel1d(sigma, radius):
-    x = np.arange(-radius, radius + 1, dtype=np.float64)
-    phi = np.exp(-0.5 / (sigma * sigma) * x ** 2)
-    return phi / phi.sum()
+    key = (sigma, radius)
+    w = _KERNEL_CACHE.get(key)
+    if w is None:
+        x = np.arange(-radius, radius + 1, dtype=np.float64)
+        phi = np.exp(-0.5 / (sigma * sigma) * x ** 2)
+        w = phi / phi.sum()
+        _KERNEL_CACHE[key] = w
+    return w
 
 
 def gaussian_filter1d(x, sigma=1.0, truncate=4.0):
     """scipy.ndimage.gaussian_filter1d equivalent (order=0, mode='reflect')."""
     x = np.asarray(x, dtype=np.float64)
+    n = len(x)
     radius = int(truncate * sigma + 0.5)
-    if radius == 0 or len(x) == 0:
+    if radius == 0 or n == 0:
         return x.copy()
     w = _gaussian_kernel1d(sigma, radius)
-    padded = np.pad(x, radius, mode='symmetric')  # == ndimage 'reflect'
+    if n >= radius:
+        # symmetric pad via direct slicing (np.pad dominates on the tiny
+        # per-document arrays this runs over)
+        padded = np.concatenate((x[radius - 1::-1], x, x[:n - radius - 1:-1]))
+    else:
+        padded = np.pad(x, radius, mode='symmetric')
     return np.convolve(padded, w, mode='valid')
 
 

@@ -46,17 +46,38 @@ EXTRACTED_DDL = ('doc_id string, '
                  'content_text string, status string')
 
 
+STATUS_ERROR = 'error'
+
+
+def _sanitize(spans):
+    """Null-proof raw span rows: a single malformed field must degrade the
+    document, never abort an executor task (failure containment at
+    10^12-doc scale -- a null slips into any real corpus)."""
+    out = []
+    for i, s in enumerate(spans):
+        s = s or {}
+        out.append({
+            'kind': s.get('kind') or 'text',
+            'text': s.get('text') or '',
+            'media_ref': s.get('media_ref') or '',
+            'offset': s.get('offset') if s.get('offset') is not None else i,
+        })
+    return out
+
+
 def split_runs(spans):
     """Sort spans by offset; split into text runs separated by media spans.
 
     Returns an ordered list of ('text', [span,...]) / ('media', span)
     items.
     """
-    ordered = sorted(spans, key=lambda s: s['offset'])
+    ordered = sorted(_sanitize(spans), key=lambda s: s['offset'])
     items = []
     run = []
     for s in ordered:
-        if s['kind'] == 'media':
+        # every non-text kind (media, video, audio, image, ...) bypasses
+        # classification and passes through in order
+        if s['kind'] != 'text':
             if run:
                 items.append(('text', run))
                 run = []
@@ -135,7 +156,7 @@ def process_document(spans, model: LogisticModel,
         for kind, payload in items:
             if kind == 'media':
                 out_spans.append({
-                    'kind': 'media', 'text': '',
+                    'kind': payload['kind'], 'text': '',
                     'media_ref': payload['media_ref'],
                     'offset': len(out_spans)})
             else:
@@ -149,7 +170,7 @@ def process_document(spans, model: LogisticModel,
         for kind, payload in items:
             if kind == 'media':
                 out_spans.append({
-                    'kind': 'media', 'text': '',
+                    'kind': payload['kind'], 'text': '',
                     'media_ref': payload['media_ref'],
                     'offset': len(out_spans)})
 
@@ -165,8 +186,13 @@ def make_extract_fn(model, features=DEFAULT_FEATURES):
             spans_col = rb.column('spans').to_pylist()
             rows = []
             for doc_id, spans in zip(doc_ids, spans_col):
-                out_spans, content, status = process_document(
-                    spans or [], model, features)
+                try:
+                    out_spans, content, status = process_document(
+                        spans or [], model, features)
+                except Exception:
+                    # last-resort containment: one pathological document
+                    # becomes a status row, never a task failure
+                    out_spans, content, status = [], '', STATUS_ERROR
                 rows.append({'doc_id': doc_id, 'spans': out_spans,
                              'content_text': content, 'status': status})
             yield pa.RecordBatch.from_pylist(rows, schema=EXTRACTED_PA_SCHEMA)

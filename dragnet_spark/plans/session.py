@@ -6,8 +6,8 @@ Design notes for the 1000-executor / 100 TB target:
   host-skew the corpus carries (BASELINE.json north_rule).
 * ``spark.sql.execution.arrow.maxRecordsPerBatch`` is tuned *down*: rows
   are whole HTML documents (fat), so the default 10k-row batches would
-  blow executor memory inside mapInArrow.  256 rows x ~50 KB ~= 12 MB per
-  Arrow batch.
+  blow executor memory inside mapInArrow.  1024 rows x ~50 KB ~= 50 MB
+  worst-case per Arrow batch (measured optimum on the synthetic corpus).
 * shuffle partitions default to 4x cores locally; on a real cluster this
   is overridden via spark-submit conf (the pipeline itself is a single
   narrow map for inference, so shuffle partitioning only matters for the
@@ -20,7 +20,7 @@ import os
 
 from pyspark.sql import SparkSession
 
-ARROW_BATCH_ROWS = 256
+ARROW_BATCH_ROWS = 1024
 
 
 def get_spark(app_name='dragnet-spark', master=None, cores=None,

@@ -237,10 +237,11 @@ def synthesize_corpus(spark, sf_dir, amplification=1, include_edge_docs=True,
     import pyspark.sql.types as T
 
     if num_partitions is None:
-        num_partitions = 2 * spark.sparkContext.defaultParallelism
-    docs = (spark.read.parquet(f'{sf_dir}/documents.parquet')
-            .select('doc_id', 'text')
-            .repartition(num_partitions))
+        num_partitions = 4 * spark.sparkContext.defaultParallelism
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet').select(
+        'doc_id', 'text')
+    if num_partitions:  # 0/None disables the spread (plan inspection)
+        docs = docs.repartition(num_partitions)
 
     spans_type = T.StructType([
         T.StructField('doc_id', T.StringType()),

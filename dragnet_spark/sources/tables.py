@@ -1,0 +1,72 @@
+"""Table I/O layer: Iceberg when a catalog is configured, parquet fallback.
+
+The production target (BASELINE.json north_rule) is Iceberg at
+10^12-document scale:
+
+* reads: ``spark.read.table('catalog.db.documents')`` -- partition
+  pruning + column pruning + snapshot isolation come from the Iceberg
+  source; time travel (``VERSION AS OF``) gives reproducible training
+  snapshots.
+* writes: ``df.writeTo(table).append()`` -- atomic snapshot commits are
+  what makes the checkpoint-manifest resume (sources.checkpoint)
+  transactional; the recommended table spec partitions by
+  ``bucket(1024, doc_id)`` with host as a hidden-partition transform so
+  salting (plans.partitioning.salt_by_host) aligns with file clustering.
+
+This sandbox ships no Iceberg runtime jar and has no network, so
+:func:`catalog_available` returns False here and every helper falls back
+to plain parquet paths with identical call shapes -- swap in the catalog
+via ``spark-submit --packages org.apache.iceberg:iceberg-spark-runtime``
++ the three confs below and nothing else changes.
+
+Required cluster confs (documented, not settable here)::
+
+    spark.sql.catalog.lake = org.apache.iceberg.spark.SparkCatalog
+    spark.sql.catalog.lake.type = hive | rest | hadoop
+    spark.sql.defaultCatalog = lake
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+ICEBERG_CATALOG_IMPL = 'org.apache.iceberg.spark.SparkCatalog'
+
+
+def catalog_available(spark, catalog='lake'):
+    """True iff an Iceberg catalog is configured on this session."""
+    try:
+        impl = spark.conf.get('spark.sql.catalog.%s' % catalog)
+    except Exception:
+        return False
+    return bool(impl)
+
+
+def read_table(spark, name, path=None, catalog='lake'):
+    """Read an Iceberg table by name, or the parquet path fallback."""
+    if catalog_available(spark, catalog):
+        return spark.read.table('%s.%s' % (catalog, name))
+    if path is None:
+        raise ValueError('no Iceberg catalog and no fallback path for %r'
+                         % name)
+    return spark.read.parquet(path)
+
+
+def append_table(df, name, path=None, catalog='lake',
+                 cluster_by_doc_range=None):
+    """Append to an Iceberg table (atomic snapshot) or parquet fallback.
+
+    ``cluster_by_doc_range``: optional partition count; range-partitions
+    on doc_id before the write so files are doc_id-clustered -- the
+    layout both the resume anti-join and downstream range scans want.
+    """
+    if cluster_by_doc_range:
+        df = df.repartitionByRange(cluster_by_doc_range, F.col('doc_id'))
+    spark = df.sparkSession
+    if catalog_available(spark, catalog):
+        df.writeTo('%s.%s' % (catalog, name)).append()
+        return
+    if path is None:
+        raise ValueError('no Iceberg catalog and no fallback path for %r'
+                         % name)
+    df.write.mode('append').parquet(path)

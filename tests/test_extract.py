@@ -169,10 +169,24 @@ class TestExtractSpark:
             got = [s.media_ref for s in r.spans if s.kind == 'media']
             assert got == in_media[r.doc_id], r.doc_id
 
-    def test_extract_plan_has_no_shuffle(self, spark, sf_dir):
+    def test_extract_plan_single_input_exchange(self, spark, sf_dir):
+        """The whole pipeline carries exactly ONE exchange: the deliberate
+        round-robin spread of the cheap (doc_id, text) input rows.  The
+        fat Arrow stages (synthesis, blockify+featurize+predict) are
+        narrow -- no shuffle of documents or blocks."""
         from dragnet_spark.operators.extract import extract
         from dragnet_spark.sources.synthesis import synthesize_corpus
         spans_df, _ = synthesize_corpus(spark, sf_dir,
                                         include_edge_docs=False)
+        plan = extract(spans_df)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count('Exchange') == 1, plan
+        assert 'RoundRobinPartitioning' in plan, plan
+
+    def test_extract_plan_no_shuffle_without_repartition(self, spark, sf_dir):
+        from dragnet_spark.operators.extract import extract
+        from dragnet_spark.sources.synthesis import synthesize_corpus
+        spans_df, _ = synthesize_corpus(spark, sf_dir,
+                                        include_edge_docs=False,
+                                        num_partitions=0)
         plan = extract(spans_df)._jdf.queryExecution().executedPlan().toString()
         assert 'Exchange' not in plan, plan
