@@ -232,6 +232,46 @@ def q_token_f1_demo(spark, sf_dir):
                        F.round(f1, 6).alias('f1'))
 
 
+def q_gold_corrected_roundtrip(spark, sf_dir):
+    """S2 gold-standard reader: parse the reference corrected-text format
+    (content, '!@#$%^&*()  COMMENTS' delimiter, comments) built
+    deterministically from documents."""
+    from dragnet_spark.sources.gold_io import parse_corrected
+    docs = _docs(spark, sf_dir)
+    corrected = docs.select(
+        F.col('doc_id').cast('string').alias('doc_id'),
+        F.concat(F.col('text'), F.lit('\n!@#$%^&*()  COMMENTS\n'),
+                 F.upper(F.substring('text', 1, 50)))
+        .alias('corrected_text'))
+    return parse_corrected(corrected)
+
+
+def q_clustered_weninger(spark, sf_dir):
+    """F3: KMeans-clustered CETR feature over the blocks DataFrame
+    (stateful fit; rows-only check)."""
+    from dragnet_spark.operators.blocks_df import blockify_df
+    from dragnet_spark.operators.extra_features import ClusteredWeninger
+    from dragnet_spark.sources.synthesis import synthesize_corpus
+    spans_df, _ = synthesize_corpus(spark, sf_dir, include_edge_docs=False)
+    blocks = blockify_df(spans_df).where(F.size('features') > 0)
+    cw = ClusteredWeninger().fit(blocks)
+    return cw.transform(blocks).select('doc_id', 'block_idx',
+                                       'clustered_weninger')
+
+
+def q_standardized_features(spark, sf_dir):
+    """F6: globally standardized feature vectors (rows-only check)."""
+    from dragnet_spark.operators.blocks_df import blockify_df
+    from dragnet_spark.operators.extra_features import (
+        fit_standardizer, standardize)
+    from dragnet_spark.sources.synthesis import synthesize_corpus
+    spans_df, _ = synthesize_corpus(spark, sf_dir, include_edge_docs=False)
+    blocks = blockify_df(spans_df).where(F.size('features') > 0).cache()
+    mean, std = fit_standardizer(blocks)
+    return standardize(blocks, mean, std).select(
+        'doc_id', 'block_idx', 'features_std')
+
+
 def q_media_stats(spark, sf_dir):
     from dragnet_spark.operators.multimodal import media_stats, media_table
     return media_stats(media_table(_docs(spark, sf_dir)))
@@ -293,6 +333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'embedding_near_duplicates': q_embedding_near_duplicates,
         'ann_topk_lsh': q_ann_topk_lsh,
         'media_feature_extract': q_media_feature_extract,
+        'clustered_weninger': q_clustered_weninger,
+        'standardized_features': q_standardized_features,
         # oracle-checked
         'token_count': q_token_count,
         'text_quality': q_text_quality,
@@ -304,6 +346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'block_label_threshold': q_block_label_threshold,
         'block_metrics_weighted': q_block_metrics_weighted,
         'token_f1_demo': q_token_f1_demo,
+        'gold_corrected_roundtrip': q_gold_corrected_roundtrip,
         'media_stats': q_media_stats,
         'pricing_summary': q_pricing_summary,
         'events_sessionize': q_events_sessionize,
@@ -464,6 +507,23 @@ def oracle_sql() -> dict[str, str]:
                               THEN 2 * precision * recall / (precision + recall)
                               ELSE 0.0 END, 6) AS f1
             FROM m
+        """,
+        'gold_corrected_roundtrip': r"""
+            WITH built AS (
+              SELECT doc_id::varchar AS doc_id,
+                     text || chr(10) || '!@#$%^&*()  COMMENTS' || chr(10)
+                          || upper(substr(text, 1, 50)) AS corrected_text
+              FROM documents
+            ), parts AS (
+              SELECT doc_id,
+                     str_split_regex(corrected_text,
+                       '\n*!@#\$%\^&\*\(\)\s+COMMENTS\n*') AS p
+              FROM built
+            )
+            SELECT doc_id,
+                   trim(p[1]) AS content_text,
+                   trim(coalesce(p[2], '')) AS comments_text
+            FROM parts
         """,
         'media_stats': """
             SELECT 'img://' || doc_id || '/0.jpg' AS media_ref,

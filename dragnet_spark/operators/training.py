@@ -59,3 +59,42 @@ def train_model(gold_blocks_df, to_extract=('content',), reg_param=1e-4,
     fitted = lr.fit(df)
     return LogisticModel(fitted.coefficients.toArray(), fitted.intercept,
                          prob_threshold=prob_threshold)
+
+
+def tune_model(gold_blocks_df, to_extract=('content',), prob_threshold=0.5,
+               reg_grid=(1e-5, 1e-4, 1e-3, 1e-2), num_folds=3, seed=42):
+    """E4 grid search (``model_training.py:127-205``): the reference's
+    ``GridSearchCV(cv=5, scoring='f1')`` becomes ``CrossValidator`` +
+    ``ParamGridBuilder`` over regParam, F1 via
+    ``MulticlassClassificationEvaluator`` -- folds and candidate fits are
+    distributed Spark jobs instead of joblib processes.
+
+    Returns (best LogisticModel, {regParam: mean_f1}).
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    df = (gold_blocks_df
+          .where(F.col('features').isNotNull())
+          .select(array_to_vector('features').alias('fv'),
+                  _label_col(to_extract).cast('double').alias('label'),
+                  F.col('weight').cast('double').alias('weight')))
+    lr = LogisticRegression(
+        featuresCol='fv', labelCol='label', weightCol='weight',
+        maxIter=100, elasticNetParam=0.0, standardization=True,
+        family='binomial')
+    grid = ParamGridBuilder().addGrid(
+        lr.regParam, list(reg_grid)).build()
+    evaluator = MulticlassClassificationEvaluator(
+        labelCol='label', metricName='f1', beta=1.0)
+    cv = CrossValidator(estimator=lr, estimatorParamMaps=grid,
+                        evaluator=evaluator, numFolds=num_folds, seed=seed,
+                        parallelism=4)
+    fitted = cv.fit(df)
+    best = fitted.bestModel
+    scores = {g[lr.regParam]: m
+              for g, m in zip(grid, fitted.avgMetrics)}
+    return (LogisticModel(best.coefficients.toArray(), best.intercept,
+                          prob_threshold=prob_threshold), scores)

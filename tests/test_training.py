@@ -92,6 +92,17 @@ class TestTrainingSpark:
         # the reference e2e gate (test/test_models.py:34)
         assert row['f1'] >= 0.8, row
 
+    def test_tune_model_grid_search(self, spark, sf_dir):
+        from dragnet_spark.operators.training import tune_model
+        spans_df, gold_df = synthesize_corpus(spark, sf_dir,
+                                              include_edge_docs=False)
+        labeled = gold_blocks(spans_df.limit(60), gold_df)
+        model, scores = tune_model(labeled, reg_grid=(1e-4, 1e-1),
+                                   num_folds=2)
+        assert model.coef.shape == (9,)
+        assert set(scores) == {1e-4, 1e-1}
+        assert all(0.0 <= v <= 1.0 for v in scores.values())
+
     def test_block_metrics_agg_matches_kernel(self, spark):
         rows = [(1, 1, 10.0), (1, 0, 5.0), (0, 1, 2.0), (0, 0, 20.0),
                 (1, 1, 1.0)]
