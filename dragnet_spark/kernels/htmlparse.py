@@ -242,7 +242,100 @@ def _attr_dict(attrs):
     return d
 
 
-def parse_html(text):
+import re as _re
+from html import unescape as _unescape
+
+# -- fast regex scanner --------------------------------------------------
+# One compiled-regex pass emitting the same event stream html.parser
+# produces, dispatched into the same _TreeBuilder -- tree semantics
+# (autoclose, head/body synthesis, error detection) are shared, only the
+# tokenizer differs.  html.parser's char-by-char goahead() is ~40% of
+# per-document cost; this scanner is the hot path, html.parser stays as
+# the reference fallback (parse_html(..., fast=False)) and the full
+# parity suite pins their equivalence.
+
+_SCAN = _re.compile(r'''
+    <!--(?P<comment>.*?)(?:-->|\Z)
+  | <!\[CDATA\[(?P<cdata>.*?)(?:\]\]>|\Z)
+  | <!(?P<decl>[^>]*)>?
+  | <\?(?P<pi>[^>]*)>?
+  | </\s*(?P<endtag>[a-zA-Z][a-zA-Z0-9:_.-]*)[^>]*(?:>|\Z)
+  | <(?P<starttag>[a-zA-Z][a-zA-Z0-9:_.-]*)
+      (?P<attrs>(?:"[^"]*"|'[^']*'|[^>"'])*)
+      (?:>|\Z)
+  | (?P<text>[^<]+)
+  | (?P<lt><)
+''', _re.DOTALL | _re.VERBOSE)
+
+_ATTR = _re.compile(
+    r'([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*("[^"]*"|\'[^\']*\'|[^\s]*))?')
+
+_RAW_END = {
+    'script': _re.compile(r'</script', _re.IGNORECASE),
+    'style': _re.compile(r'</style', _re.IGNORECASE),
+}
+
+_HAS_ENTITY = _re.compile(r'&')
+
+
+def _maybe_unescape(s):
+    return _unescape(s) if '&' in s else s
+
+
+def _parse_attrs(raw):
+    if not raw or raw.isspace():
+        return [], False
+    self_closing = raw.rstrip().endswith('/')
+    if self_closing:
+        raw = raw.rstrip()[:-1]
+    attrs = []
+    for m in _ATTR.finditer(raw):
+        name = m.group(1).lower()
+        val = m.group(2)
+        if val is None:
+            val = ''
+        elif val[:1] in ('"', "'"):
+            val = val[1:-1]
+        attrs.append((name, _maybe_unescape(val)))
+    return attrs, self_closing
+
+
+def _scan_into(builder, text):
+    pos = 0
+    n = len(text)
+    while pos < n:
+        m = _SCAN.match(text, pos)
+        if m is None:  # pragma: no cover - regex covers all inputs
+            builder.handle_data(text[pos])
+            pos += 1
+            continue
+        pos = m.end()
+        if m.group('text') is not None:
+            builder.handle_data(_maybe_unescape(m.group('text')))
+        elif m.group('starttag') is not None:
+            tag = m.group('starttag').lower()
+            attrs, self_closing = _parse_attrs(m.group('attrs') or '')
+            if self_closing:
+                builder.handle_startendtag(tag, attrs)
+            else:
+                builder.handle_starttag(tag, attrs)
+                raw_end = _RAW_END.get(tag)
+                if raw_end is not None:
+                    # raw-text element: everything up to the close tag is
+                    # data (html.parser CDATA mode)
+                    em = raw_end.search(text, pos)
+                    end = em.start() if em else n
+                    if end > pos:
+                        builder.handle_data(text[pos:end])
+                    pos = end
+        elif m.group('endtag') is not None:
+            builder.handle_endtag(m.group('endtag').lower())
+        elif m.group('lt') is not None:
+            builder.handle_data('<')
+        # comment / cdata / decl / pi: dropped (remove_comments/remove_pis)
+
+
+def parse_html(text, fast=True):
     """Parse an HTML string into a :class:`Node` tree rooted at ``html``.
 
     Raises :class:`BlockifyError` for input that libxml2 would fail on
@@ -251,9 +344,12 @@ def parse_html(text):
     """
     builder = _TreeBuilder()
     try:
-        builder.feed(text)
-        builder.close()
-    except Exception as exc:  # html.parser is lenient; belt and braces
+        if fast:
+            _scan_into(builder, text)
+        else:
+            builder.feed(text)
+            builder.close()
+    except Exception as exc:  # parsers are lenient; belt and braces
         raise BlockifyError('Could not blockify HTML: %s' % exc) from exc
     if not builder.saw_markup and not builder.saw_text:
         raise BlockifyError('Could not blockify HTML')
