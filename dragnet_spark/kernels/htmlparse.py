@@ -243,96 +243,210 @@ def _attr_dict(attrs):
 
 
 import re as _re
+import _markupbase as _mb
+import html.parser as _hp
 from html import unescape as _unescape
 
 # -- fast regex scanner --------------------------------------------------
-# One compiled-regex pass emitting the same event stream html.parser
-# produces, dispatched into the same _TreeBuilder -- tree semantics
-# (autoclose, head/body synthesis, error detection) are shared, only the
-# tokenizer differs.  html.parser's char-by-char goahead() is ~40% of
-# per-document cost; this scanner is the hot path, html.parser stays as
-# the reference fallback (parse_html(..., fast=False)) and the full
-# parity suite pins their equivalence.
+# A faithful single-pass transcription of CPython html.parser's
+# goahead(end=1)/parse_starttag/parse_endtag/... using the module's own
+# tolerant regexes, dispatching into the same _TreeBuilder.  Dropping the
+# incremental-feed bookkeeping (updatepos line counting, buffer-boundary
+# handling) is the speedup; the event stream is byte-identical, which the
+# hypothesis fuzz test (fast vs stdlib parser) enforces.
 
-_SCAN = _re.compile(r'''
-    <!--(?P<comment>.*?)(?:-->|\Z)
-  | <!\[CDATA\[(?P<cdata>.*?)(?:\]\]>|\Z)
-  | <!(?P<decl>[^>]*)>?
-  | <\?(?P<pi>[^>]*)>?
-  | </\s*(?P<endtag>[a-zA-Z][a-zA-Z0-9:_.-]*)[^>]*(?:>|\Z)
-  | <(?P<starttag>[a-zA-Z][a-zA-Z0-9:_.-]*)
-      (?P<attrs>(?:"[^"]*"|'[^']*'|[^>"'])*)
-      (?:>|\Z)
-  | (?P<text>[^<]+)
-  | (?P<lt><)
-''', _re.DOTALL | _re.VERBOSE)
-
-_ATTR = _re.compile(
-    r'([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*("[^"]*"|\'[^\']*\'|[^\s]*))?')
-
-_RAW_END = {
-    'script': _re.compile(r'</script', _re.IGNORECASE),
-    'style': _re.compile(r'</style', _re.IGNORECASE),
+_CDATA_CLOSE = {
+    'script': _re.compile(r'</\s*script', _re.IGNORECASE),
+    'style': _re.compile(r'</\s*style', _re.IGNORECASE),
 }
-
-_HAS_ENTITY = _re.compile(r'&')
-
-
-def _maybe_unescape(s):
-    return _unescape(s) if '&' in s else s
+_SIMPLE_TAG = _re.compile(r'<(/?)([a-zA-Z][a-zA-Z0-9]*)>')
+_MARKEDSECTIONCLOSE = _re.compile(r']\s*]\s*>')
+_MSMARKEDSECTIONCLOSE = _re.compile(r']\s*>')
 
 
-def _parse_attrs(raw):
-    if not raw or raw.isspace():
-        return [], False
-    self_closing = raw.rstrip().endswith('/')
-    if self_closing:
-        raw = raw.rstrip()[:-1]
+def _parse_starttag(b, rawdata, i, cdata):
+    """parser.py:288-333 + check_for_whole_start_tag (parser.py:337-375).
+
+    Returns (endpos, new_cdata_elem) or (-1, cdata) when incomplete."""
+    n = len(rawdata)
+    m = _hp.locatestarttagend_tolerant.match(rawdata, i)
+    j = m.end()
+    nxt = rawdata[j:j + 1]
+    if nxt == '>':
+        endpos = j + 1
+    elif nxt == '/':
+        if rawdata.startswith('/>', j):
+            endpos = j + 2
+        else:
+            return -1, cdata
+    elif nxt == '':
+        return -1, cdata
+    elif nxt in ('abcdefghijklmnopqrstuvwxyz=/'
+                 'ABCDEFGHIJKLMNOPQRSTUVWXYZ'):
+        return -1, cdata
+    else:
+        endpos = j if j > i else i + 1
+
     attrs = []
-    for m in _ATTR.finditer(raw):
-        name = m.group(1).lower()
-        val = m.group(2)
-        if val is None:
-            val = ''
-        elif val[:1] in ('"', "'"):
-            val = val[1:-1]
-        attrs.append((name, _maybe_unescape(val)))
-    return attrs, self_closing
+    tm = _hp.tagfind_tolerant.match(rawdata, i + 1)
+    k = tm.end()
+    tag = tm.group(1).lower()
+    while k < endpos:
+        am = _hp.attrfind_tolerant.match(rawdata, k)
+        if not am:
+            break
+        attrname, rest, attrvalue = am.group(1, 2, 3)
+        if not rest:
+            attrvalue = None
+        elif attrvalue[:1] == "'" == attrvalue[-1:] or \
+                attrvalue[:1] == '"' == attrvalue[-1:]:
+            attrvalue = attrvalue[1:-1]
+        if attrvalue:
+            attrvalue = _unescape(attrvalue)
+        attrs.append((attrname.lower(), attrvalue))
+        k = am.end()
+
+    end = rawdata[k:endpos].strip()
+    if end not in ('>', '/>'):
+        b.handle_data(rawdata[i:endpos])
+        return endpos, cdata
+    if end.endswith('/>'):
+        b.handle_startendtag(tag, attrs)
+    else:
+        b.handle_starttag(tag, attrs)
+        if tag in ('script', 'style'):
+            cdata = tag
+    return endpos, cdata
 
 
-def _scan_into(builder, text):
-    pos = 0
-    n = len(text)
-    while pos < n:
-        m = _SCAN.match(text, pos)
-        if m is None:  # pragma: no cover - regex covers all inputs
-            builder.handle_data(text[pos])
-            pos += 1
-            continue
-        pos = m.end()
-        if m.group('text') is not None:
-            builder.handle_data(_maybe_unescape(m.group('text')))
-        elif m.group('starttag') is not None:
-            tag = m.group('starttag').lower()
-            attrs, self_closing = _parse_attrs(m.group('attrs') or '')
-            if self_closing:
-                builder.handle_startendtag(tag, attrs)
+def _parse_bogus_comment(rawdata, i):
+    pos = rawdata.find('>', i + 2)
+    return -1 if pos == -1 else pos + 1
+
+
+def _parse_endtag(b, rawdata, i, cdata):
+    """parser.py:377-415. Returns (endpos, new_cdata)."""
+    m = _hp.endendtag.search(rawdata, i + 1)
+    if not m:
+        return -1, cdata
+    gtpos = m.end()
+    m = _hp.endtagfind.match(rawdata, i)
+    if not m:
+        if cdata is not None:
+            b.handle_data(rawdata[i:gtpos])
+            return gtpos, cdata
+        nm = _hp.tagfind_tolerant.match(rawdata, i + 2)
+        if not nm:
+            if rawdata[i:i + 3] == '</>':
+                return i + 3, cdata
+            return _parse_bogus_comment(rawdata, i), cdata
+        tagname = nm.group(1).lower()
+        gtpos = rawdata.find('>', nm.end())
+        b.handle_endtag(tagname)
+        return gtpos + 1, cdata
+    elem = m.group(1).lower()
+    if cdata is not None:
+        if elem != cdata:
+            b.handle_data(rawdata[i:gtpos])
+            return gtpos, cdata
+        cdata = None
+    b.handle_endtag(elem)
+    return gtpos, cdata
+
+
+def _parse_marked_section(rawdata, i):
+    """_markupbase.parse_marked_section (report path drops content)."""
+    nm = _mb._declname_match(rawdata, i + 3)
+    if not nm:
+        raise BlockifyError('malformed marked section')
+    name = nm.group().strip().lower()
+    if name in ('temp', 'cdata', 'ignore', 'include', 'rcdata'):
+        match = _MARKEDSECTIONCLOSE.search(rawdata, i + 3)
+    elif name in ('if', 'else', 'endif'):
+        match = _MSMARKEDSECTIONCLOSE.search(rawdata, i + 3)
+    else:
+        raise BlockifyError('unknown status keyword %r' % name)
+    return match.end() if match else -1
+
+
+def _parse_html_declaration(rawdata, i):
+    """parser.py:259-278 (decls are dropped)."""
+    if rawdata[i:i + 3] == '<![':
+        return _parse_marked_section(rawdata, i)
+    if rawdata[i:i + 9].lower() == '<!doctype':
+        gtpos = rawdata.find('>', i + 9)
+        return -1 if gtpos == -1 else gtpos + 1
+    return _parse_bogus_comment(rawdata, i)
+
+
+def _scan_into(b, rawdata):
+    """goahead(end=1) transcription; comments/PIs/decls dropped."""
+    i = 0
+    n = len(rawdata)
+    cdata = None
+    while i < n:
+        if cdata is None:
+            j = rawdata.find('<', i)
+            if j < 0:
+                j = n
+        else:
+            m = _CDATA_CLOSE[cdata].search(rawdata, i)
+            if m:
+                j = m.start()
             else:
-                builder.handle_starttag(tag, attrs)
-                raw_end = _RAW_END.get(tag)
-                if raw_end is not None:
-                    # raw-text element: everything up to the close tag is
-                    # data (html.parser CDATA mode)
-                    em = raw_end.search(text, pos)
-                    end = em.start() if em else n
-                    if end > pos:
-                        builder.handle_data(text[pos:end])
-                    pos = end
-        elif m.group('endtag') is not None:
-            builder.handle_endtag(m.group('endtag').lower())
-        elif m.group('lt') is not None:
-            builder.handle_data('<')
-        # comment / cdata / decl / pi: dropped (remove_comments/remove_pis)
+                break  # unterminated raw text dropped (goahead end-block
+                       # skips cdata remains)
+        if i < j:
+            if cdata is None:
+                b.handle_data(_unescape(rawdata[i:j]))
+            else:
+                b.handle_data(rawdata[i:j])
+        i = j
+        if i == n:
+            break
+        sm = _SIMPLE_TAG.match(rawdata, i) if cdata is None else None
+        if sm is not None:
+            # fast path: attribute-less <tag> / </tag> (equivalent to the
+            # tolerant machinery on these strings; fuzz-verified)
+            tag = sm.group(2).lower()
+            if sm.group(1):
+                b.handle_endtag(tag)
+            else:
+                b.handle_starttag(tag, [])
+                if tag in ('script', 'style'):
+                    cdata = tag
+            i = sm.end()
+            continue
+        if _hp.starttagopen.match(rawdata, i) and cdata is None:
+            k, cdata = _parse_starttag(b, rawdata, i, cdata)
+        elif rawdata.startswith('</', i):
+            k, cdata = _parse_endtag(b, rawdata, i, cdata)
+        elif rawdata.startswith('<!--', i):
+            cm = _hp.commentclose.search(rawdata, i + 4)
+            k = cm.end() if cm else -1
+        elif rawdata.startswith('<?', i):
+            pm = _hp.piclose.search(rawdata, i + 2)
+            k = pm.end() if pm else -1
+        elif rawdata.startswith('<!', i):
+            k = _parse_html_declaration(rawdata, i)
+        else:
+            b.handle_data('<')
+            k = i + 1
+        if k < 0:
+            # incomplete construct at EOF: emit through next '>' (or '<',
+            # or one char) as data -- goahead's end=1 recovery
+            k = rawdata.find('>', i + 1)
+            if k < 0:
+                k = rawdata.find('<', i + 1)
+                if k < 0:
+                    k = i + 1
+            else:
+                k += 1
+            if cdata is None:
+                b.handle_data(_unescape(rawdata[i:k]))
+            else:
+                b.handle_data(rawdata[i:k])
+        i = k
 
 
 def parse_html(text, fast=True):
