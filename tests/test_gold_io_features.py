@@ -116,6 +116,34 @@ class TestEvalExtras:
 
 
 @pytest.mark.spark
+class TestStatefulStreamingDedup:
+    def test_first_seen_dedup_across_batches(self, spark, tmp_path):
+        from dragnet_spark.streaming import run_dedup_stream
+        src = str(tmp_path / 'src')
+        out = str(tmp_path / 'out')
+        ckpt = str(tmp_path / 'ckpt')
+        batch1 = [('h001/doc-1', 'alpha text'), ('h001/doc-2', 'beta text'),
+                  ('h002/doc-3', 'alpha text')]
+        spark.createDataFrame(batch1, 'doc_id string, content_text string'
+                              ).write.mode('append').parquet(src)
+        run_dedup_stream(spark, src, out, ckpt)
+        r1 = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+        assert r1['h001/doc-1'].is_first_seen
+        assert r1['h001/doc-2'].is_first_seen
+        # same content, different host: independent state shard
+        assert r1['h002/doc-3'].is_first_seen
+
+        # second micro-batch: duplicates detected against persisted state
+        batch2 = [('h001/doc-4', 'alpha text'), ('h001/doc-5', 'gamma new')]
+        spark.createDataFrame(batch2, 'doc_id string, content_text string'
+                              ).write.mode('append').parquet(src)
+        run_dedup_stream(spark, src, out, ckpt)
+        r2 = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+        assert not r2['h001/doc-4'].is_first_seen  # dup of doc-1
+        assert r2['h001/doc-5'].is_first_seen
+
+
+@pytest.mark.spark
 class TestStreaming:
     def test_file_stream_extraction(self, spark, sf_dir, tmp_path):
         from dragnet_spark.sources.synthesis import synthesize_corpus
