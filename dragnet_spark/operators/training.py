@@ -88,7 +88,7 @@ def tune_model(gold_blocks_df, to_extract=('content',), prob_threshold=0.5,
     grid = ParamGridBuilder().addGrid(
         lr.regParam, list(reg_grid)).build()
     evaluator = MulticlassClassificationEvaluator(
-        labelCol='label', metricName='f1', beta=1.0)
+        labelCol='label', metricName='f1', beta=1.0, weightCol='weight')
     cv = CrossValidator(estimator=lr, estimatorParamMaps=grid,
                         evaluator=evaluator, numFolds=num_folds, seed=seed,
                         parallelism=4)
