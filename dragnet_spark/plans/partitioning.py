@@ -50,11 +50,16 @@ def repartition_by_doc_range(df, num_partitions, doc_id_col='doc_id'):
 
 
 def doc_size_bytes(spans_col):
-    """Total payload bytes of a span document (JVM-side)."""
-    return F.aggregate(
-        spans_col,
-        F.lit(0).cast('long'),
-        lambda acc, s: acc + F.octet_length(s['text']).cast('long'))
+    """Total payload bytes of a span document (JVM-side, null-safe --
+    a null span text must not null out the sum and silently drop the
+    doc from both size buckets)."""
+    return F.coalesce(
+        F.aggregate(
+            spans_col,
+            F.lit(0).cast('long'),
+            lambda acc, s: acc + F.coalesce(
+                F.octet_length(s['text']).cast('long'), F.lit(0))),
+        F.lit(0))
 
 
 def bucket_by_size(df, num_partitions, spans_col='spans',

@@ -24,8 +24,8 @@ import pyspark.sql.functions as F
 
 MANIFEST_SCHEMA = (
     'run_id string, partition_id int, doc_id_min string, doc_id_max string, '
-    'n_docs long, n_ok long, n_failed long, wall_ms long, '
-    'content_checksum long')
+    'n_docs long, n_ok long, n_failed long, n_blocks_kept long, '
+    'content_chars long, wall_ms long, content_checksum long')
 
 
 def _manifest_dir(base):
@@ -78,7 +78,13 @@ def run_with_checkpoints(extracted_df, base, run_id=None):
     tagged = (extracted_df
               .withColumn('run_id', F.lit(run_id))
               .withColumn('partition_id', F.spark_partition_id())
-              .withColumn('_row_hash', F.xxhash64('doc_id', 'content_text')))
+              .withColumn('_row_hash', F.xxhash64('doc_id', 'content_text'))
+              # per-row block/feature metrics materialized at write time so
+              # the manifest aggregation never re-reads the fat columns
+              .withColumn('_n_blocks_kept', F.coalesce(F.size(F.filter(
+                  'spans', lambda s: s['kind'] == 'text')), F.lit(0)))
+              .withColumn('_content_chars',
+                          F.coalesce(F.length('content_text'), F.lit(0))))
     tagged.write.mode('append').parquet(out_path)
     wall_ms = int((time.time() - t0) * 1000)
     # fresh scan restricted to this run (pushed-down filter + column
@@ -93,10 +99,13 @@ def run_with_checkpoints(extracted_df, base, run_id=None):
                      F.sum((F.col('status') == 'ok').cast('long')).alias('n_ok'),
                      F.sum((F.col('status') != 'ok').cast('long'))
                      .alias('n_failed'),
+                     F.sum('_n_blocks_kept').alias('n_blocks_kept'),
+                     F.sum('_content_chars').alias('content_chars'),
                      F.bit_xor('_row_hash').alias('content_checksum'))
                 .select('run_id', 'partition_id',
                         'doc_id_min', 'doc_id_max', 'n_docs', 'n_ok',
-                        'n_failed', F.lit(wall_ms).alias('wall_ms'),
+                        'n_failed', 'n_blocks_kept', 'content_chars',
+                        F.lit(wall_ms).alias('wall_ms'),
                         'content_checksum'))
     manifest.write.mode('append').parquet(_manifest_dir(base))
     return run_id

@@ -69,10 +69,12 @@ class TestCheckpointResume:
         base = str(tmp_path / 'ckpt3')
         extract_resumable(spark, bad, base, num_partitions=2)
         m = read_manifest(spark, base)
-        agg = m.agg(F.sum('n_docs').alias('d'), F.sum('n_failed').alias('f')
-                    ).first()
+        agg = m.agg(F.sum('n_docs').alias('d'), F.sum('n_failed').alias('f'),
+                    F.sum('n_blocks_kept').alias('b'),
+                    F.sum('content_chars').alias('c')).first()
         assert agg['d'] == bad.count()
         assert agg['f'] >= 2  # unparseable + too-few-blocks edge docs
+        assert agg['b'] > 0 and agg['c'] > 0  # block/feature lineage metrics
 
 
 @pytest.mark.spark
