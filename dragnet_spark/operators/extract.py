@@ -177,14 +177,24 @@ def process_document(spans, model: LogisticModel,
     return out_spans, '\n'.join(kept_texts), status
 
 
+OUT_BATCH_BYTES = 32 << 20
+
+
 def make_extract_fn(model, features=DEFAULT_FEATURES):
-    """Arrow-batch iterator function for ``DataFrame.mapInArrow``."""
+    """Arrow-batch iterator function for ``DataFrame.mapInArrow``.
+
+    Output batches are flushed at a byte budget, not just a row count:
+    ``maxRecordsPerBatch`` caps rows, but 1024 outlier documents of a few
+    MB each would otherwise pin gigabytes per in-flight batch (SURVEY.md
+    §4 'Arrow batch sizing').
+    """
 
     def extract_batches(batches):
         for rb in batches:
             doc_ids = rb.column('doc_id').to_pylist()
             spans_col = rb.column('spans').to_pylist()
             rows = []
+            approx_bytes = 0
             for doc_id, spans in zip(doc_ids, spans_col):
                 try:
                     out_spans, content, status = process_document(
@@ -195,7 +205,15 @@ def make_extract_fn(model, features=DEFAULT_FEATURES):
                     out_spans, content, status = [], '', STATUS_ERROR
                 rows.append({'doc_id': doc_id, 'spans': out_spans,
                              'content_text': content, 'status': status})
-            yield pa.RecordBatch.from_pylist(rows, schema=EXTRACTED_PA_SCHEMA)
+                approx_bytes += 2 * len(content) + 64
+                if approx_bytes >= OUT_BATCH_BYTES:
+                    yield pa.RecordBatch.from_pylist(
+                        rows, schema=EXTRACTED_PA_SCHEMA)
+                    rows = []
+                    approx_bytes = 0
+            if rows:
+                yield pa.RecordBatch.from_pylist(
+                    rows, schema=EXTRACTED_PA_SCHEMA)
 
     return extract_batches
 

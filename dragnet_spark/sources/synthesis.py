@@ -99,6 +99,12 @@ def make_document(doc_id: str, text: str):
     comments = [_norm(' '.join(c)) or ('comment %d on %s' % (i, doc_id))
                 for i, c in enumerate(comments)]
 
+    # ~40% of docs are "hard": content-like boilerplate (related-article
+    # fragments built from the doc's own sentences), an extra inline
+    # anchor inside a content paragraph, and a cookie banner -- the
+    # ambiguity real de-chroming corpora carry
+    hard = _h(doc_id + ':hard', 10) < 4
+
     # content div: paragraphs, one inline anchor inside paragraph 0,
     # optional blockquote
     anchor_words = ' '.join(paras[0].split()[:3]) or 'read more here'
@@ -107,12 +113,32 @@ def make_document(doc_id: str, text: str):
     content_parts.append(
         '<p><a href="/story/%s">%s</a> %s</p>' % (_h(doc_id, 10 ** 6),
                                                   anchor_words, p0_rest))
-    for p in paras[1:]:
+    for pi, p in enumerate(paras[1:], start=1):
+        if hard and pi == 1 and len(p.split()) > 6:
+            toks = p.split()
+            p = '%s <a href="/ref/%d">%s</a> %s' % (
+                ' '.join(toks[:2]), _h(doc_id + ':a2', 10 ** 4),
+                ' '.join(toks[2:5]), ' '.join(toks[5:]))
         content_parts.append('<p>%s</p>' % p)
     if quote_text:
         content_parts.append('<blockquote>%s</blockquote>' % quote_text)
     content_parts.append('</div>')
     content_html = '\n'.join(content_parts)
+
+    extra_boilerplate = ''
+    if hard:
+        frags = [' '.join(p.split()[:6]) for p in paras[:2]]
+        related = ''.join(
+            '<li><a href="/related/%d">%s ...</a></li>'
+            % (_h(doc_id + str(i), 10 ** 4), f)
+            for i, f in enumerate(frags) if f)
+        extra_boilerplate = (
+            '<div class="related widget"><h3>Related stories</h3>'
+            '<ul>%s</ul></div>'
+            '<div id="cookie-banner" class="banner">We use cookies to '
+            'improve your experience on this site. <a href="/cookies">'
+            'Accept all cookies</a> or review your settings.</div>'
+            % related)
 
     comment_divs = ''.join(
         '<div id="comment%d"><p>%s%s</p></div>'
@@ -121,8 +147,8 @@ def make_document(doc_id: str, text: str):
     comments_html = '<div class="begin_comments">%s</div>' % comment_divs
 
     html_head = '<html><body>\n' + NAV_HTML + '\n'
-    html_tail = '\n'.join(['', SIDEBAR_HTML, comments_html, FOOTER_HTML,
-                           '</body></html>'])
+    html_tail = '\n'.join(['', SIDEBAR_HTML + extra_boilerplate,
+                           comments_html, FOOTER_HTML, '</body></html>'])
 
     # gold: what the blockifier emits for the content region, normalized.
     # anchor text joins its block (blocks.pyx:485-515) so paragraph 0 is
