@@ -127,6 +127,22 @@ def _pinned_extraction(cores, sf_dir, amplification):
     raise RuntimeError('pinned run failed: %s' % proc.stderr[-2000:])
 
 
+def ann_recall(spark, sf_dir, k=10, n_queries=50):
+    """LSH top-k recall vs brute force over the embeddings table --
+    the quality half of the approximate-similarity trade."""
+    import pyspark.sql.functions as F
+
+    from dragnet_spark.operators.similarity import cosine_topk, lsh_topk
+
+    emb = spark.read.parquet(f'{sf_dir}/embeddings.parquet')
+    queries = emb.where(F.col('vec_id') < n_queries)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, queries, k=k).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in lsh_topk(emb, queries, k=k).collect()}
+    return round(len(exact & approx) / max(len(exact), 1), 4)
+
+
 def scaling_run(sf_dir, amplification):
     """The north rule's two-cluster-size criterion, in-sandbox: the same
     job at N and 4N cores (CPU-pinned), two pairs.
@@ -171,6 +187,7 @@ def main():
     spark = _bench_session(cpus)
     extract_sec, n_docs = run_extraction(spark, sf_dir, amplification)
     query_times = run_queries(spark, sf_dir)
+    recall = ann_recall(spark, sf_dir)
     spark.stop()
 
     result = {
@@ -183,6 +200,7 @@ def main():
         'docs_per_sec': round(n_docs / extract_sec, 2),
         'cpus': cpus,
         'amplification': amplification,
+        'ann_lsh_recall_at_10': recall,
     }
     if do_scaling:
         result['scaling'] = scaling_run(sf_dir, amplification)

@@ -24,8 +24,13 @@ import pandas as pd
 import pyspark.sql.functions as F
 import pyspark.sql.types as T
 
-LSH_BANDS = 8
-LSH_BITS_PER_BAND = 8
+# Defaults tuned on the synthetic embeddings (64-dim, near-random, so
+# true neighbors sit at cosine ~0.45 -- a hard regime for hyperplane
+# LSH): 16 bands x 4 bits gives recall@10 ~0.92 at ~4x candidate
+# pruning (bench.py ann_recall).  Real embedding corpora with close
+# neighbors (cosine 0.8+) tolerate far more aggressive 8x8+ banding.
+LSH_BANDS = 16
+LSH_BITS_PER_BAND = 4
 
 
 def _dot(a, b):
