@@ -36,6 +36,54 @@ def parse_corrected(df, text_col='corrected_text'):
         .alias('comments_text'))
 
 
+def cleaneval_text(html: str) -> str:
+    """CleanEval-mode gold: parse as HTML and join all text fragments
+    with spaces, comments empty (``read_gold_standard_file(cetr=True)``,
+    ``data_processing.py:290-292`` via ``text_from_subtree``)."""
+    from ..kernels.htmlparse import BlockifyError, parse_html
+
+    try:
+        root = parse_html(html)
+    except BlockifyError:
+        return ''
+    parts = []
+
+    def walk(node):
+        if node.text:
+            parts.append(node.text)
+        for c in node.children:
+            walk(c)
+            if c.tail:
+                parts.append(c.tail)
+
+    walk(root)
+    return ' '.join(parts).strip()
+
+
+def parse_corrected_cleaneval(df, text_col='corrected_text'):
+    """CleanEval gold column -> (content_text, comments_text='') via one
+    Arrow stage (HTML parsing is not a column expression)."""
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    src = df.select('doc_id', F.col(text_col).alias('_t'))
+    schema = T.StructType([
+        T.StructField('doc_id', df.schema['doc_id'].dataType),
+        T.StructField('content_text', T.StringType()),
+        T.StructField('comments_text', T.StringType()),
+    ])
+
+    def batches(pdfs):
+        for pdf in pdfs:
+            yield pd.DataFrame({
+                'doc_id': pdf['doc_id'],
+                'content_text': [cleaneval_text(t or '') for t in pdf['_t']],
+                'comments_text': ['' for _ in pdf['_t']],
+            })
+
+    return src.mapInPandas(batches, schema)
+
+
 def format_corrected(gold_df):
     """(content_text, comments_text) -> single corrected-text column."""
     return gold_df.select(

@@ -30,6 +30,19 @@ class TestGoldIO:
         assert r.content_text == 'just content, no comments'
         assert r.comments_text == ''
 
+    def test_cleaneval_mode(self, spark):
+        from dragnet_spark.sources.gold_io import (
+            cleaneval_text, parse_corrected_cleaneval)
+        html = '<html><body><p>main <b>bold</b> text</p>tail words</body></html>'
+        # fragments keep their own whitespace; the join adds one more --
+        # matching ' '.join(text_from_subtree(tree)) in the reference
+        assert cleaneval_text(html) == 'main  bold  text tail words'
+        df = spark.createDataFrame([('d1', html)],
+                                   'doc_id string, corrected_text string')
+        r = parse_corrected_cleaneval(df).collect()[0]
+        assert 'main' in r.content_text and 'tail words' in r.content_text
+        assert r.comments_text == ''
+
     def test_block_tsv_roundtrip(self, spark, sf_dir):
         from dragnet_spark.operators.labeling import gold_blocks
         from dragnet_spark.sources.gold_io import (
