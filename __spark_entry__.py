@@ -80,11 +80,19 @@ def q_blockify_blocks(spark, sf_dir):
 
 
 def q_block_features(spark, sf_dir):
-    """F1-F4+F7: the 9-column feature union per block."""
+    """F1-F4+F7: the 9-column feature union per block, posexploded to
+    scalar (feature_idx, value) rows so the harness canonicalizer can
+    sort/hash them (arrays are unhashable driver-side)."""
     from dragnet_spark.operators.blocks_df import blockify_df
     from dragnet_spark.sources.synthesis import synthesize_corpus
     spans_df, _ = synthesize_corpus(spark, sf_dir)
-    return blockify_df(spans_df).select('doc_id', 'block_idx', 'features')
+    blocks = blockify_df(spans_df)
+    return blocks.select(
+        'doc_id', 'block_idx',
+        F.posexplode('features').alias('feature_idx', 'value')
+    ).select('doc_id', F.col('block_idx').cast('long').alias('block_idx'),
+             F.col('feature_idx').cast('long').alias('feature_idx'),
+             F.round('value', 6).alias('value'))
 
 
 def q_gold_block_labeling(spark, sf_dir):
@@ -135,10 +143,20 @@ def q_ann_topk_lsh(spark, sf_dir):
 
 
 def q_media_feature_extract(spark, sf_dir):
-    """Multimodal plumbing: binary payload -> feature vector (stub codec)."""
+    """Multimodal plumbing: binary payload -> feature vector (deterministic
+    byte-histogram stand-in codec), posexploded to scalar rows.  The
+    stand-in folds bytes mod 16 so DuckDB can reproduce it from the hex
+    low nibble of the payload -- a real hash check of the Arrow stage."""
     from dragnet_spark.operators.multimodal import (
         extract_media_features, media_table)
-    return extract_media_features(media_table(_docs(spark, sf_dir)))
+    media = media_table(_docs(spark, sf_dir)).where(
+        F.octet_length('payload') > 0)
+    feats = extract_media_features(media)
+    return feats.select(
+        'media_ref', F.posexplode('features').alias('feature_idx', 'value')
+    ).select('media_ref',
+             F.col('feature_idx').cast('long').alias('feature_idx'),
+             F.col('value').alias('value'))
 
 
 # ---------------------------------------------------------------------------
@@ -269,7 +287,11 @@ def q_standardized_features(spark, sf_dir):
     blocks = blockify_df(spans_df).where(F.size('features') > 0).cache()
     mean, std = fit_standardizer(blocks)
     return standardize(blocks, mean, std).select(
-        'doc_id', 'block_idx', 'features_std')
+        'doc_id', 'block_idx',
+        F.posexplode('features_std').alias('feature_idx', 'value')
+    ).select('doc_id', F.col('block_idx').cast('long').alias('block_idx'),
+             F.col('feature_idx').cast('long').alias('feature_idx'),
+             F.round('value', 6).alias('value'))
 
 
 def q_media_stats(spark, sf_dir):
@@ -296,15 +318,220 @@ def q_events_sessionize(spark, sf_dir):
     from pyspark.sql import Window
     ev = spark.read.parquet(f'{sf_dir}/events.parquet')
     w = Window.partitionBy('user_id').orderBy('ts', 'event_id')
-    prev = F.lag(F.col('ts')).over(w)
+    # microsecond-exact gap comparison: events.parquet stores timestamp[us]
+    # (TIMESTAMP_NTZ), and unix_timestamp() truncates to whole seconds,
+    # which splits sessions differently from the oracle's fractional
+    # epoch_us() near the 1800s boundary
+    lagged = ev.withColumn('prev_ts', F.lag(F.col('ts')).over(w))
     new_sess = F.when(
-        prev.isNull()
-        | ((F.unix_timestamp('ts') - F.unix_timestamp(prev)) > 1800),
+        F.col('prev_ts').isNull()
+        | (F.expr('timestampdiff(MICROSECOND, prev_ts, ts)') > 1_800_000_000),
         1).otherwise(0)
-    per_event = ev.select('user_id', new_sess.alias('ns'))
+    per_event = lagged.select('user_id', new_sess.alias('ns'))
     return per_event.groupBy('user_id').agg(
         F.count('*').alias('n_events'),
         F.sum('ns').alias('n_sessions'))
+
+
+# ---------------------------------------------------------------------------
+# SQL-expressible feature-math demos (hash-checked counterparts of F1/F2/F5/F6)
+#
+# The real feature transforms run on blockifier output (not reproducible in
+# DuckDB); these demos run the *same sequence/window/smoothing math* over a
+# deterministic SQL-derivable block table (8-token slices of each document's
+# token stream), so the Spark-side formulation gets a value-level hash check.
+# The kernel math itself is pinned by the reference golden vectors in pytest.
+# ---------------------------------------------------------------------------
+
+_DEMO_BLOCK_TOKENS = 8
+
+# gaussian kernel, sigma=1.0, truncate=4.0 (radius 4) -- identical literal
+# strings on both dialects parse to identical doubles (shortest-roundtrip
+# reprs of kernels.features.weninger._gaussian_kernel1d(1.0, 4))
+_GW = ('0.00013383062461474175', '0.004431861620031266',
+       '0.053991127420704395', '0.24197144565660073',
+       '0.39894346935609776', '0.24197144565660073',
+       '0.053991127420704395', '0.004431861620031266',
+       '0.00013383062461474175')
+
+
+def _elem(dialect, arr, idx):
+    fn = 'element_at' if dialect == 'spark' else 'list_extract'
+    return '%s(%s, %s)' % (fn, arr, idx)
+
+
+def _xform(dialect, var, body):
+    if dialect == 'spark':
+        return 'transform(sequence(0, n - 1), %s -> %s)' % (var, body)
+    return 'list_transform(range(n), %s -> %s)' % (var, body)
+
+
+def _dx_expr(dialect):
+    """CETR derivative per kernels.features.weninger.sx_sdx: dx[k] =
+    |mean(x[k+1 : min(k+1+3, n)]) - x[k]|, last element 2-point mean.
+    Explicit 3-term guarded sum so both engines add in the same order."""
+    e = lambda i: _elem(dialect, 'xs', i)  # noqa: E731
+    cnt = 'least(3, n - 1 - k)'
+    s = ("(%s + (CASE WHEN %s >= 2 THEN %s ELSE CAST(0 AS DOUBLE) END)"
+         " + (CASE WHEN %s >= 3 THEN %s ELSE CAST(0 AS DOUBLE) END))"
+         % (e('k + 2'), cnt, e('k + 3'), cnt, e('k + 4')))
+    body = ("CASE WHEN k < n - 1 THEN abs(%s / %s - %s) "
+            "ELSE abs(CAST('0.5' AS DOUBLE) * (%s + %s) - %s) END"
+            % (s, cnt, e('k + 1'), e('n'), e('n - 1'), e('n')))
+    return _xform(dialect, 'k', body)
+
+
+def _smooth_expr(arr, dialect):
+    """Gaussian filter (reflect boundary, radius 4) as an explicit 9-term
+    convolution -- valid for n >= 4 (single reflection)."""
+    terms = []
+    for o in range(-4, 5):
+        j = '(i + %d)' % o if o >= 0 else '(i - %d)' % -o
+        r = ('(CASE WHEN %s < 0 THEN -%s - 1 '
+             'WHEN %s >= n THEN 2 * n - %s - 1 ELSE %s END)'
+             % (j, j, j, j, j))
+        terms.append("%s * CAST('%s' AS DOUBLE)"
+                     % (_elem(dialect, arr, r + ' + 1'), _GW[o + 4]))
+    return _xform(dialect, 'i', ' + '.join(terms))
+
+
+def _demo_blocks(spark, sf_dir):
+    """(doc_id, block_idx, nt, nd, nc): 8-token slices of the document
+    token stream with per-block token / distinct-token / char counts."""
+    from dragnet_spark.operators.text_analysis import tokens_col
+    docs = _docs(spark, sf_dir)
+    t = (docs.select('doc_id',
+                     tokens_col(F.col('text'), lower=True).alias('toks'))
+         .where(F.size('toks') > 0))
+    nb = F.ceil(F.size('toks') / F.lit(8.0)).cast('int')
+    sliced = F.transform(
+        F.sequence(F.lit(0), nb - 1),
+        lambda i: F.slice('toks', i * _DEMO_BLOCK_TOKENS + 1,
+                          _DEMO_BLOCK_TOKENS))
+    b = t.select('doc_id',
+                 F.posexplode(sliced).alias('block_idx', 'barr'))
+    return b.select(
+        'doc_id', F.col('block_idx').cast('long').alias('block_idx'),
+        F.size('barr').alias('nt'),
+        F.size(F.array_distinct('barr')).alias('nd'),
+        F.length(F.array_join('barr', ' ')).alias('nc'))
+
+
+_DEMO_BLOCKS_SQL = """
+  t AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS toks
+        FROM documents),
+  tt AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+  bi AS (SELECT doc_id, toks,
+                unnest(range(CAST(ceil(len(toks) / 8.0) AS BIGINT)))
+                  AS block_idx
+         FROM tt),
+  b AS (SELECT doc_id, block_idx,
+               list_slice(toks, block_idx * 8 + 1, block_idx * 8 + 8) AS barr
+        FROM bi),
+  m AS (SELECT doc_id, block_idx, len(barr) AS nt,
+               len(list_distinct(barr)) AS nd,
+               length(array_to_string(barr, ' ')) AS nc
+        FROM b)
+"""
+
+
+def q_kohlschuetter_window(spark, sf_dir):
+    """F1 structure as pure Spark SQL (SURVEY §2.3): (prev, cur, next) x
+    (link_density, text_density) via lag/lead over block order,
+    zero-padded at document ends."""
+    from pyspark.sql import Window
+    m = _demo_blocks(spark, sf_dir)
+    d = m.select('doc_id', 'block_idx',
+                 (F.col('nd').cast('double') / F.col('nt')).alias('ld'),
+                 (F.col('nc').cast('double') / F.col('nt')).alias('td'))
+    w = Window.partitionBy('doc_id').orderBy('block_idx')
+    return d.select(
+        'doc_id', 'block_idx',
+        F.lag('ld', 1, 0.0).over(w).alias('prev_ld'),
+        F.lag('td', 1, 0.0).over(w).alias('prev_td'),
+        'ld', 'td',
+        F.lead('ld', 1, 0.0).over(w).alias('next_ld'),
+        F.lead('td', 1, 0.0).over(w).alias('next_td'))
+
+
+def q_weninger_smooth(spark, sf_dir):
+    """F2 structure: CETR ratio -> alpha=3 derivative -> gaussian smoothing
+    (sigma=1, reflect) as per-document array expressions; docs with >= 4
+    blocks (single-reflection domain)."""
+    m = _demo_blocks(spark, sf_dir)
+    d = m.select('doc_id', 'block_idx',
+                 (F.col('nc').cast('double')
+                  / ((F.col('nt') % 7) + 1)).alias('ctr'))
+    g = (d.groupBy('doc_id')
+         .agg(F.array_sort(F.collect_list(F.struct('block_idx', 'ctr')))
+              .alias('s'))
+         .select('doc_id', F.expr('transform(s, e -> e.ctr)').alias('xs'))
+         .where(F.size('xs') >= 4)
+         .withColumn('n', F.size('xs'))
+         .withColumn('dxs', F.expr(_dx_expr('spark')))
+         .withColumn('sxl', F.expr(_smooth_expr('xs', 'spark')))
+         .withColumn('sdxl', F.expr(_smooth_expr('dxs', 'spark'))))
+    z = g.select('doc_id', F.posexplode(F.arrays_zip('sxl', 'sdxl'))
+                 .alias('block_idx', 'z'))
+    return z.select('doc_id',
+                    F.col('block_idx').cast('long').alias('block_idx'),
+                    F.col('z.sxl').alias('sx'), F.col('z.sdxl').alias('sdx'))
+
+
+def q_standardize_zscore(spark, sf_dir):
+    """F6 structure: global z-score with exact integer sums (sum / sum-of-
+    squares as bigints, so mean/var are order-independent)."""
+    from dragnet_spark.operators.text_analysis import tokens_col
+    docs = _docs(spark, sf_dir)
+    d = docs.select('doc_id',
+                    F.size(tokens_col(F.col('text'))).cast('long').alias('x'))
+    stats = d.agg(F.sum('x').alias('s1'),
+                  F.sum(F.col('x') * F.col('x')).alias('s2'),
+                  F.count('*').alias('cnt'))
+    j = d.crossJoin(F.broadcast(stats))
+    mean = F.col('s1').cast('double') / F.col('cnt')
+    var = F.col('s2').cast('double') / F.col('cnt') - mean * mean
+    z = (F.col('x') - mean) / F.sqrt(F.greatest(var, F.lit(1e-12)))
+    return j.select('doc_id', F.col('x').alias('n_tokens'), z.alias('z'))
+
+
+def q_css_token_flags(spark, sf_dir):
+    """F5 structure: the 36 css id/class token presence flags (incl. the
+    reference's duplicated 'ss') as substring tests over the text."""
+    from dragnet_spark.kernels.features.css import ATTRIBUTE_TOKENS
+    toks36 = [t for _, toks in ATTRIBUTE_TOKENS for t in toks]
+    docs = _docs(spark, sf_dir)
+    flags = F.array(*[
+        F.when(F.instr(F.lower(F.col('text')), tok) > 0, 1)
+        .otherwise(0).cast('long') for tok in toks36])
+    return (docs.select('doc_id',
+                        F.posexplode(flags).alias('feature_idx', 'flag'))
+            .select('doc_id',
+                    F.col('feature_idx').cast('long').alias('feature_idx'),
+                    'flag'))
+
+
+def q_streaming_dedup_batch(spark, sf_dir):
+    """Stateful streaming dedup (applyInPandasWithState) as a batch view:
+    stream the documents through the operator with availableNow, then
+    aggregate per host -- counts are arrival-order-insensitive, so the
+    result is deterministic and oracle-checkable."""
+    import tempfile
+    from dragnet_spark.streaming.dedup_stream import run_dedup_stream
+    base = tempfile.mkdtemp(prefix='dedup_stream_q_')
+    docs = _docs(spark, sf_dir).select(
+        F.concat(F.lit('host'), (F.col('doc_id') % 13).cast('string'),
+                 F.lit('/doc-'), F.col('doc_id').cast('string'))
+        .alias('doc_id'),
+        F.col('text').alias('content_text'))
+    docs.coalesce(4).write.mode('overwrite').parquet(f'{base}/src')
+    run_dedup_stream(spark, f'{base}/src', f'{base}/out', f'{base}/chk')
+    res = spark.read.parquet(f'{base}/out')
+    return res.groupBy('host').agg(
+        F.count('*').alias('n_docs'),
+        F.sum(F.col('is_first_seen').cast('long')).alias('n_first_seen'))
 
 
 def q_segment_order_stats(spark, sf_dir):
@@ -348,6 +575,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'token_f1_demo': q_token_f1_demo,
         'gold_corrected_roundtrip': q_gold_corrected_roundtrip,
         'media_stats': q_media_stats,
+        'kohlschuetter_window': q_kohlschuetter_window,
+        'weninger_smooth': q_weninger_smooth,
+        'standardize_zscore': q_standardize_zscore,
+        'css_token_flags': q_css_token_flags,
+        'streaming_dedup_batch': q_streaming_dedup_batch,
         'pricing_summary': q_pricing_summary,
         'events_sessionize': q_events_sessionize,
         'segment_order_stats': q_segment_order_stats,
@@ -361,6 +593,20 @@ _EN_STOP = "['the','and','of','to','in','is','was','that','for','with']"
 _DE_STOP = "['der','die','das','und','ist','nicht','mit','ein','eine','zu']"
 _FR_STOP = "['le','les','et','des','une','est','dans','pour','qui','au']"
 _ES_STOP = "['el','los','las','que','por','una','es','para','como','su']"
+
+
+def _css_flags_oracle():
+    from dragnet_spark.kernels.features.css import ATTRIBUTE_TOKENS
+    toks36 = [t for _, toks in ATTRIBUTE_TOKENS for t in toks]
+    lit = '[' + ', '.join("'%s'" % t for t in toks36) + ']'
+    return f"""
+        SELECT d.doc_id, r.i AS feature_idx,
+               CAST(CASE WHEN strpos(lower(d.text), tl[r.i + 1]) > 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS flag
+        FROM documents d,
+             (SELECT unnest(range({len(toks36)})) AS i) r,
+             (SELECT {lit} AS tl) t
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -532,6 +778,85 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS payload_bytes
             FROM documents
         """,
+        'media_feature_extract': """
+            WITH mm AS (
+              SELECT 'img://' || doc_id || '/0.jpg' AS media_ref,
+                     hex(encode(text)) AS h,
+                     octet_length(encode(text)) AS nb
+              FROM documents
+              WHERE octet_length(encode(text)) > 0
+            ), nib AS (
+              SELECT media_ref, nb,
+                     strpos('0123456789ABCDEF',
+                            substr(h, CAST(i AS BIGINT) * 2, 1)) - 1 AS n
+              FROM mm, unnest(range(1, nb + 1)) AS u(i)
+            ), cnts AS (
+              SELECT media_ref, n, count(*) AS c
+              FROM nib GROUP BY 1, 2
+            ), base AS (
+              SELECT media_ref, nb, unnest(range(16)) AS feature_idx
+              FROM mm
+            )
+            SELECT base.media_ref,
+                   base.feature_idx,
+                   CAST(coalesce(cnts.c, 0) AS DOUBLE) / base.nb AS value
+            FROM base LEFT JOIN cnts
+              ON base.media_ref = cnts.media_ref
+             AND base.feature_idx = cnts.n
+        """,
+        'kohlschuetter_window': f"""
+            WITH {_DEMO_BLOCKS_SQL},
+            d AS (SELECT doc_id, block_idx,
+                         CAST(nd AS DOUBLE) / nt AS ld,
+                         CAST(nc AS DOUBLE) / nt AS td
+                  FROM m)
+            SELECT doc_id, block_idx,
+                   coalesce(lag(ld) OVER w, 0.0) AS prev_ld,
+                   coalesce(lag(td) OVER w, 0.0) AS prev_td,
+                   ld, td,
+                   coalesce(lead(ld) OVER w, 0.0) AS next_ld,
+                   coalesce(lead(td) OVER w, 0.0) AS next_td
+            FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY block_idx)
+        """,
+        'weninger_smooth': f"""
+            WITH {_DEMO_BLOCKS_SQL},
+            d AS (SELECT doc_id, block_idx,
+                         CAST(nc AS DOUBLE) / ((nt % 7) + 1) AS ctr
+                  FROM m),
+            g0 AS (SELECT doc_id, list(ctr ORDER BY block_idx) AS xs
+                   FROM d GROUP BY doc_id),
+            g1 AS (SELECT doc_id, xs, len(xs) AS n
+                   FROM g0 WHERE len(xs) >= 4),
+            g2 AS (SELECT doc_id, n, xs, {_dx_expr('duck')} AS dxs FROM g1),
+            g3 AS (SELECT doc_id, n,
+                          {_smooth_expr('xs', 'duck')} AS sxl,
+                          {_smooth_expr('dxs', 'duck')} AS sdxl
+                   FROM g2)
+            SELECT doc_id,
+                   unnest(range(n)) AS block_idx,
+                   unnest(sxl) AS sx,
+                   unnest(sdxl) AS sdx
+            FROM g3
+        """,
+        'standardize_zscore': f"""
+            WITH d AS (SELECT doc_id, CAST(len({toks}) AS BIGINT) AS x
+                       FROM documents),
+            s AS (SELECT sum(x) AS s1, sum(x * x) AS s2, count(*) AS cnt
+                  FROM d)
+            SELECT doc_id, x AS n_tokens,
+                   (x - CAST(s1 AS DOUBLE) / cnt)
+                   / sqrt(greatest(CAST(s2 AS DOUBLE) / cnt
+                          - (CAST(s1 AS DOUBLE) / cnt)
+                            * (CAST(s1 AS DOUBLE) / cnt), 1e-12)) AS z
+            FROM d, s
+        """,
+        'css_token_flags': _css_flags_oracle(),
+        'streaming_dedup_batch': """
+            SELECT 'host' || CAST(doc_id % 13 AS VARCHAR) AS host,
+                   count(*) AS n_docs,
+                   count(DISTINCT md5(text)) AS n_first_seen
+            FROM documents GROUP BY 1
+        """,
         'pricing_summary': """
             SELECT l_returnflag, l_linestatus,
                    count(*) AS count_order,
@@ -551,7 +876,7 @@ def oracle_sql() -> dict[str, str]:
             ), flags AS (
               SELECT user_id,
                      CASE WHEN prev_ts IS NULL
-                               OR epoch(ts) - epoch(prev_ts) > 1800
+                               OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
                           THEN 1 ELSE 0 END AS ns
               FROM w
             )

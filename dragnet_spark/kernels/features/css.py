@@ -1,4 +1,5 @@
-"""CSS token presence features (34 binary columns).
+"""CSS token presence features (36 binary columns: 10 id tokens incl.
+the duplicated 'ss' + 26 class tokens).
 
 Re-derivation of ``/root/reference/dragnet/features/css.py:18-58``:
 ``re.search`` of each token in the block's accumulated css id/class
