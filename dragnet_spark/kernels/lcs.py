@@ -12,16 +12,23 @@ tie-breaking (``lcs.pyx:88-103``: prefer moving ``j`` when
 ``C[i][j-1] >= C[i-1][j]``) so the chosen LCS -- and therefore the derived
 block labels -- are bit-identical.
 
-Like the reference (``lcs.pyx:30-33``), the DP matrix is ``uint16`` and
-sequences are capped: we truncate instead of asserting so one huge
-document cannot kill an executor (SURVEY.md §4).
+Like the reference (``lcs.pyx:30-33``), the DP matrix is ``uint16``; the
+reference *asserts* below 65k tokens, we truncate instead so one huge
+document cannot kill an executor (SURVEY.md §4).  The cap is 8192 tokens
+(not 65k): the backtrack materializes the full ``(m+1, n+1)`` matrix, and
+65k^2 x 2 B is ~8.4 GiB for a single document -- an executor OOM on any
+real web corpus -- while 8192^2 is a bounded ~134 MB per in-flight doc.
+Callers receive inclusion flags only for the covered prefix and must
+treat tokens past the cap as *unknown* (``operators/labeling.py`` emits
+null fracs/labels for uncovered blocks plus a ``truncated`` flag),
+never as unmatched.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-MAX_TOKENS = 65000
+MAX_TOKENS = 8192
 
 
 def longest_common_subsequence(x, y):

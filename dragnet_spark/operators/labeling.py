@@ -25,7 +25,7 @@ import pyarrow as pa
 
 from ..kernels.blocks import simple_tokenizer
 from ..kernels.features import DEFAULT_FEATURES, compute
-from ..kernels.lcs import check_inclusion
+from ..kernels.lcs import MAX_TOKENS, check_inclusion
 from .extract import STATUS_OK, blockify_spans
 
 BLOCK_PCT_TOKENS_THRESH = 0.1
@@ -44,6 +44,7 @@ GOLD_BLOCKS_PA_SCHEMA = pa.schema([
     ('label_comments', pa.int32()),
     ('weight', pa.int32()),
     ('features', pa.list_(pa.float64())),
+    ('truncated', pa.bool_()),
 ])
 
 GOLD_BLOCKS_DDL = (
@@ -51,24 +52,42 @@ GOLD_BLOCKS_DDL = (
     'comments_frac double, all_tokens array<string>, '
     'content_tokens array<string>, comments_tokens array<string>, '
     'label_content int, label_comments int, weight int, '
-    'features array<double>')
+    'features array<double>, truncated boolean')
 
 
 def _frac_and_tokens(blocks_tokens, all_tokens, block_ids, gs_text):
-    """data_processing.py:150-177 equivalent."""
+    """data_processing.py:150-177 equivalent, truncation-aware.
+
+    ``check_inclusion`` covers only the first ``MAX_TOKENS`` of
+    ``all_tokens`` (lcs.py memory bound).  Tokens past the cap are
+    *unknown*, not unmatched: blocks fully past the cap get ``None``
+    fracs (-> null labels, excluded from training) instead of a silent
+    0 label; a block straddling the cap is scored over its covered
+    prefix.  Returns (fracs, matched, truncated).
+    """
     n_blocks = len(blocks_tokens)
     gs_tokens = simple_tokenizer(gs_text)
     inclusion = check_inclusion(all_tokens, gs_tokens)
+    n_covered = len(inclusion)
+    truncated = (n_covered < len(all_tokens)
+                 or len(gs_tokens) > MAX_TOKENS)
     counts = [0] * n_blocks
+    covered = [0] * n_blocks
     matched = [[] for _ in range(n_blocks)]
     for token, inc, block_id in zip(all_tokens, inclusion, block_ids):
+        covered[block_id] += 1
         if inc:
             counts[block_id] += 1
             matched[block_id].append(token)
-    fracs = [
-        counts[i] / len(blocks_tokens[i]) if blocks_tokens[i] else 0.0
-        for i in range(n_blocks)]
-    return fracs, matched
+    fracs = []
+    for i in range(n_blocks):
+        if not blocks_tokens[i]:
+            fracs.append(0.0)
+        elif covered[i] == 0:
+            fracs.append(None)  # entirely past the cap: unknown
+        else:
+            fracs.append(counts[i] / covered[i])
+    return fracs, matched, truncated
 
 
 def label_document(doc_id, spans, content_text, comments_text,
@@ -84,10 +103,11 @@ def label_document(doc_id, spans, content_text, comments_text,
         flat_tokens.extend(toks)
         flat_ids.extend([i] * len(toks))
 
-    c_fracs, c_matched = _frac_and_tokens(
+    c_fracs, c_matched, c_trunc = _frac_and_tokens(
         blocks_tokens, flat_tokens, flat_ids, content_text or '')
-    m_fracs, m_matched = _frac_and_tokens(
+    m_fracs, m_matched, m_trunc = _frac_and_tokens(
         blocks_tokens, flat_tokens, flat_ids, comments_text or '')
+    truncated = c_trunc or m_trunc
 
     try:
         mat = compute(all_blocks, features)
@@ -105,10 +125,13 @@ def label_document(doc_id, spans, content_text, comments_text,
             'all_tokens': blocks_tokens[i],
             'content_tokens': c_matched[i],
             'comments_tokens': m_matched[i],
-            'label_content': int(c_fracs[i] > BLOCK_PCT_TOKENS_THRESH),
-            'label_comments': int(m_fracs[i] > BLOCK_PCT_TOKENS_THRESH),
+            'label_content': (int(c_fracs[i] > BLOCK_PCT_TOKENS_THRESH)
+                              if c_fracs[i] is not None else None),
+            'label_comments': (int(m_fracs[i] > BLOCK_PCT_TOKENS_THRESH)
+                               if m_fracs[i] is not None else None),
             'weight': min(len(blocks_tokens[i]), MAX_BLOCK_WEIGHT),
             'features': list(mat[i]) if mat is not None else None,
+            'truncated': truncated,
         })
     return rows
 

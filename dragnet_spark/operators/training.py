@@ -51,7 +51,10 @@ def train_model(gold_blocks_df, to_extract=('content',), reg_param=1e-4,
           .where(F.col('features').isNotNull())
           .select(array_to_vector('features').alias('fv'),
                   _label_col(to_extract).alias('label'),
-                  F.col('weight').cast('double').alias('weight')))
+                  F.col('weight').cast('double').alias('weight'))
+          # blocks past the LCS truncation cap carry null (unknown)
+          # labels: exclude, never train on a silent 0
+          .where(F.col('label').isNotNull()))
     lr = LogisticRegression(
         featuresCol='fv', labelCol='label', weightCol='weight',
         maxIter=max_iter, regParam=reg_param, elasticNetParam=0.0,
@@ -80,7 +83,8 @@ def tune_model(gold_blocks_df, to_extract=('content',), prob_threshold=0.5,
           .where(F.col('features').isNotNull())
           .select(array_to_vector('features').alias('fv'),
                   _label_col(to_extract).cast('double').alias('label'),
-                  F.col('weight').cast('double').alias('weight')))
+                  F.col('weight').cast('double').alias('weight'))
+          .where(F.col('label').isNotNull()))
     lr = LogisticRegression(
         featuresCol='fv', labelCol='label', weightCol='weight',
         maxIter=100, elasticNetParam=0.0, standardization=True,

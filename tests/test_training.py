@@ -64,6 +64,41 @@ class TestLabeling:
         assert len(rows) == 1
         assert rows[0]['features'] is None
 
+    def test_huge_doc_truncates_instead_of_oom(self):
+        # VERDICT r01 #3: a >8k-token doc must flow through labeling with
+        # a bounded DP matrix (~134 MB, not 8.4 GiB), blocks entirely past
+        # the cap getting null (unknown) fracs/labels -- never a silent 0
+        # (ADVICE r01) -- and the doc flagged truncated.
+        import resource
+        from dragnet_spark.kernels.lcs import MAX_TOKENS
+        big = ' '.join('tok%d' % i for i in range(MAX_TOKENS + 5000))
+        tail = 'omega psi chi phi upsilon tau'
+        html = ('<p>alpha beta gamma</p><div>%s</div><p>%s</p>' % (big, tail))
+        gold = 'alpha beta gamma ' + big + ' ' + tail
+        rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        rows = label_document(
+            'd', [{'kind': 'text', 'text': html, 'media_ref': '', 'offset': 0}],
+            gold, '')
+        rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        assert (rss1 - rss0) < 1 << 20, 'labeling grew RSS by >1 GiB'
+        assert all(r['truncated'] for r in rows)
+        by_text = {r['text']: r for r in rows}
+        first = by_text['alpha beta gamma']
+        assert first['content_frac'] == 1.0 and first['label_content'] == 1
+        last = by_text[tail]  # entirely past the cap: unknown, not 0
+        assert last['content_frac'] is None
+        assert last['label_content'] is None
+        # straddling block scored over its covered prefix
+        mid = next(r for r in rows if r['text'].startswith('tok0 '))
+        assert mid['content_frac'] == 1.0
+
+    def test_small_doc_not_truncated(self):
+        rows = label_document(
+            'd', [{'kind': 'text',
+                   'text': '<p>aaa bbb</p><p>ccc ddd</p><p>eee</p>',
+                   'media_ref': '', 'offset': 0}], 'aaa bbb', '')
+        assert all(r['truncated'] is False for r in rows)
+
     def test_fracs_match_kernel_metrics(self):
         # content_frac is an LCS inclusion fraction; for disjoint gold it's 0
         rows = label_document(
