@@ -115,11 +115,44 @@ def guess_encoding(markup: bytes, default='utf-8'):
     return default
 
 
-def decode_html(markup: bytes, encoding=None) -> str:
-    """Bytes -> str using sniffed encoding with a repair cascade.
+#: a char that only appears as the *first* byte of a multibyte UTF-8
+#: sequence mis-decoded as latin-1/cp1252, followed by a char from the
+#: continuation-byte range (latin-1 view) or its cp1252 remapping.
+_MOJIBAKE_HINT = re.compile(
+    '[\u00c2-\u00f4]'   # UTF-8 lead byte 0xC2-0xF4 mis-decoded as latin-1
+    '[\u0080-\u00bf'    # continuation byte 0x80-0xBF, latin-1 view ...
+    # ... or its cp1252 remapping (0x80-0x9F -> punctuation/symbols)
+    '\u20ac\u201a\u0192\u201e\u2026\u2020\u2021\u02c6\u2030\u0160'
+    '\u2039\u0152\u017d\u2018\u2019\u201c\u201d\u2022\u2013\u2014'
+    '\u02dc\u2122\u0161\u203a\u0153\u017e\u0178]')
 
-    Replaces the reference's libxml2-internal decoding; invalid bytes are
-    replaced rather than truncating the parse (documented divergence)."""
+
+def fix_mojibake(s: str) -> str:
+    """Repair UTF-8 bytes that were decoded as latin-1/cp1252 (the
+    dominant ``ftfy.fix_encoding`` case the reference applies at
+    ``data_processing.py:242,267``; ftfy itself is not in this
+    container).
+
+    Conservative: only rewrites when the whole string round-trips --
+    genuine latin-1 text (a lone 'e-acute') fails the re-decode and is
+    returned untouched; ASCII never matches the hint."""
+    if not _MOJIBAKE_HINT.search(s):
+        return s
+    for enc in ('cp1252', 'iso-8859-1'):
+        try:
+            return s.encode(enc).decode('utf-8')
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            continue
+    return s
+
+
+def decode_html(markup: bytes, encoding=None) -> str:
+    """Bytes -> str using sniffed encoding with a repair cascade +
+    mojibake (double-encoding) repair.
+
+    Replaces the reference's libxml2-internal decoding and its
+    ``ftfy.fix_encoding`` call; invalid bytes are replaced rather than
+    truncating the parse (documented divergence)."""
     enc = encoding or guess_encoding(markup)
     if isinstance(enc, bytes):
         enc = enc.decode('ascii', 'replace')
@@ -129,10 +162,10 @@ def decode_html(markup: bytes, encoding=None) -> str:
         except (LookupError, TypeError):
             continue
         try:
-            return markup.decode(candidate)
+            return fix_mojibake(markup.decode(candidate))
         except (UnicodeDecodeError, UnicodeError):
             continue
-    return markup.decode('utf-8', 'replace')
+    return fix_mojibake(markup.decode('utf-8', 'replace'))
 
 
 class Block:

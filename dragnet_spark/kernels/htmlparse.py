@@ -81,6 +81,12 @@ AUTOCLOSE = {
 #: tags routed to a synthesized <head> when seen before body content.
 _HEAD_ONLY = frozenset({'title', 'base'})
 
+#: tags that may legitimately live inside <head>; any other start tag
+#: (or non-whitespace text) implicitly closes an unterminated head and
+#: starts body, matching libxml2 recovery (ADVICE r01).
+_HEAD_CONTENT = frozenset({'title', 'base', 'meta', 'link', 'style',
+                           'script', 'noscript', 'template'})
+
 
 class Node:
     """One DOM element: tag, attributes, text, tail, ordered children."""
@@ -180,6 +186,18 @@ class _TreeBuilder(HTMLParser):
             # stray duplicate <body>: ignore the tag itself
             return
 
+        if (self.body is None and self.head is not None
+                and self.head in self.stack and tag not in _HEAD_CONTENT):
+            # flow content inside an unterminated <head>: implicit </head>
+            # + start body, as libxml2 recovery does (ADVICE r01)
+            del self.stack[1:]
+            if tag == 'body':
+                self.body = Node('body', _attr_dict(attrs))
+                self.root.children.append(self.body)
+                self.stack.append(self.body)
+                return
+            self._ensure_body()
+
         self._autoclose_for(tag)
         node = Node(tag, _attr_dict(attrs))
         self._cur().children.append(node)
@@ -213,6 +231,10 @@ class _TreeBuilder(HTMLParser):
         elif cur is self.head:
             if not data.strip():
                 return
+            # non-whitespace text in an unterminated <head>: implicit
+            # </head>, text belongs to body (libxml2 recovery)
+            del self.stack[1:]
+            cur = self._ensure_body()
         stripped = data.strip()
         if stripped and not stripped.startswith(('<', '!', '?')):
             # '<' / '!' / '?' - leading chunks are malformed-markup residue

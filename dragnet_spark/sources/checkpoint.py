@@ -46,6 +46,26 @@ def completed_ranges(spark, base):
             .select('doc_id_min', 'doc_id_max').distinct())
 
 
+def read_extracted(spark, base):
+    """Committed-only view of the extraction output.
+
+    The parquet fallback appends output data and the manifest in two
+    non-atomic steps (Iceberg does both in one snapshot commit); a crash
+    between them leaves output rows with no manifest row.  Readers MUST
+    go through this view: it semi-joins the output against committed
+    ``(run_id, partition_id)`` manifest pairs, so orphan rows from a
+    crashed run are invisible -- and, since :func:`completed_ranges` is
+    manifest-driven, the next resume re-extracts those docs exactly once
+    into the committed view (no duplicate doc_ids).  This is the
+    snapshot-isolation contract ADVICE r01 flagged as missing.
+    """
+    out = spark.read.parquet(os.path.join(base, 'extracted'))
+    committed = (read_manifest(spark, base)
+                 .select('run_id', 'partition_id').distinct())
+    return out.join(F.broadcast(committed), ['run_id', 'partition_id'],
+                    'left_semi')
+
+
 def filter_resume(spark, spans_df, base, doc_id_col='doc_id'):
     """Anti-join input against completed ranges: only unprocessed docs
     remain.  Ranges are broadcast (manifest rows ~ partition count, tiny

@@ -340,3 +340,77 @@ class TestReadabilityBlocks:
         blks = self._blockify()
         actual = [blk.features['block_start_tag'] for blk in blks]
         assert actual == ['div', 'p', 'p', 'div', 'p', 'p', 'h1']
+
+
+class TestEncodingRepair:
+    """Mojibake (double-encoding) repair, the ftfy.fix_encoding analogue
+    the reference applies in its readers (data_processing.py:242,267)."""
+
+    def test_utf8_as_latin1_repaired(self):
+        from dragnet_spark.kernels.blocks import fix_mojibake
+        orig = 'café déjà-vu – “quotes”'
+        assert fix_mojibake(orig.encode('utf-8').decode('latin-1')) == orig
+
+    def test_utf8_as_cp1252_repaired(self):
+        from dragnet_spark.kernels.blocks import fix_mojibake
+        assert fix_mojibake(
+            'naïve'.encode('utf-8').decode('cp1252')) == 'naïve'
+
+    def test_genuine_latin1_untouched(self):
+        from dragnet_spark.kernels.blocks import fix_mojibake
+        assert fix_mojibake('café au lait') == 'café au lait'
+        assert fix_mojibake('plain ascii only') == 'plain ascii only'
+
+    def test_decode_html_repairs_lying_meta_charset(self):
+        # utf-8 bytes whose meta tag claims iso-8859-1: the cascade decodes
+        # as latin-1 (per the sniff), then the mojibake repair recovers it
+        from dragnet_spark.kernels.blocks import decode_html
+        markup = ('<html><head><meta charset="iso-8859-1"></head>'
+                  '<body><p>café</p></body></html>').encode('utf-8')
+        assert 'café' in decode_html(markup)
+
+    def test_encoding_matrix(self):
+        # the reference's encoding matrix (test/test_data_processing.py:63-81
+        # equivalent): same text through ascii/latin-1/utf-8/utf-16 readers
+        from dragnet_spark.kernels.blocks import decode_html
+        ascii_txt = 'plain words only'
+        assert decode_html(ascii_txt.encode('ascii')) == ascii_txt
+        uni = 'résumé 中文'
+        assert decode_html(uni.encode('utf-8')) == uni
+        lat = 'résumé'
+        assert decode_html(lat.encode('iso-8859-1'),
+                           encoding='iso-8859-1') == lat
+        utf16 = ('<?xml version="1.0" encoding="utf-16"?><p>x</p>'
+                 .encode('utf-16'))
+        assert '<p>x</p>' in decode_html(utf16, encoding='utf-16')
+
+
+class TestHeadAutoclose:
+    """Unterminated <head>: flow content implicitly closes it, matching
+    libxml2 recovery (ADVICE r01)."""
+
+    def test_div_closes_unterminated_head(self):
+        blocks = B.blockify(
+            b'<html><head><div>real content words</div>'
+            b'<p>second block text</p>')
+        assert [b.text for b in blocks] == ['real content words',
+                                            'second block text']
+
+    def test_text_closes_unterminated_head(self):
+        blocks = B.blockify(b'<head>loose text here<div>div block</div>')
+        assert [b.text for b in blocks] == ['loose text here', 'div block']
+
+    def test_head_content_stays_in_head(self):
+        # title/meta/style do NOT close the head; body starts after.
+        # title is not blacklisted (reference parity: its text rides the
+        # accumulated stream and flushes at the first block tag).
+        blocks = B.blockify(
+            b'<head><title>t</title><meta charset="utf-8">'
+            b'<style>p{}</style><div>body content block</div>')
+        assert [b.text for b in blocks] == ['t', 'body content block']
+
+    def test_wellformed_head_unaffected(self):
+        blocks = B.blockify(
+            b'<html><head><title>t</title></head>'
+            b'<body><div>the one block</div></body></html>')
+        assert [b.text for b in blocks] == ['t', 'the one block']

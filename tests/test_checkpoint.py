@@ -51,6 +51,44 @@ class TestCheckpointResume:
         assert m2.agg(F.sum('n_docs')).first()[0] == total
         assert run1 != run2
 
+    def test_orphan_rows_invisible_and_reprocessed_once(self, spark, tmp_path,
+                                                        small_corpus):
+        # crash between the output append and the manifest append (ADVICE
+        # r01): the orphan run's rows must be invisible to readers, the
+        # resume must re-extract those docs, and the committed view must
+        # end with exactly one row per doc_id
+        from dragnet_spark.operators.extract import extract
+        from dragnet_spark.sources.checkpoint import (
+            extract_resumable, read_extracted, read_manifest)
+        base = str(tmp_path / 'ckpt_orphan')
+        total = small_corpus.count()
+        mid = sorted(r.doc_id for r in small_corpus.select('doc_id')
+                     .collect())[total // 2]
+        half = small_corpus.where(F.col('doc_id') <= mid)
+
+        # simulate the crashed run: output rows appended, no manifest
+        orphan = (extract(half)
+                  .withColumn('run_id', F.lit('deadbeef0000'))
+                  .withColumn('partition_id', F.spark_partition_id())
+                  .withColumn('_row_hash', F.xxhash64('doc_id',
+                                                      'content_text'))
+                  .withColumn('_n_blocks_kept', F.lit(0))
+                  .withColumn('_content_chars', F.lit(0)))
+        orphan.write.mode('append').parquet(base + '/extracted')
+
+        assert read_extracted(spark, base).count() == 0  # orphans hidden
+        extract_resumable(spark, small_corpus, base, num_partitions=4)
+        committed = read_extracted(spark, base)
+        assert committed.count() == total
+        assert committed.select('doc_id').distinct().count() == total
+        # the raw directory still holds the orphan duplicates; the
+        # manifest-committed view is the reader contract
+        raw = spark.read.parquet(base + '/extracted')
+        assert raw.count() == total + half.count()
+        assert 'deadbeef0000' not in {
+            r.run_id for r in read_manifest(spark, base)
+            .select('run_id').distinct().collect()}
+
     def test_second_resume_is_noop(self, spark, tmp_path, small_corpus):
         from dragnet_spark.sources.checkpoint import (
             extract_resumable, filter_resume)
