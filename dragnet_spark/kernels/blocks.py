@@ -169,19 +169,26 @@ def decode_html(markup: bytes, encoding=None) -> str:
 
 
 class Block:
-    """One ordered text block (blocks.pyx:136-145)."""
+    """One ordered text block (blocks.pyx:136-145).
+
+    ``n_bytes`` caches the UTF-8 byte length of ``text`` (the blockifier
+    already encodes it for the densities; weninger CETR and readability
+    both need it again -- re-encoding every block was ~8% of kernel
+    time)."""
 
     __slots__ = ('text', 'link_density', 'text_density', 'link_tokens',
-                 'css', 'features')
+                 'css', 'features', 'n_bytes')
 
     def __init__(self, text, link_density, text_density, link_tokens, css,
-                 features):
+                 features, n_bytes=None):
         self.text = text
         self.link_density = link_density
         self.text_density = text_density
         self.link_tokens = link_tokens
         self.css = css
         self.features = features
+        self.n_bytes = (n_bytes if n_bytes is not None
+                        else len(text.encode('utf-8')))
 
     def __repr__(self):  # pragma: no cover - debug aid
         return '<Block %r>' % (self.text[:40],)
@@ -215,19 +222,7 @@ class _Walker:
         self._min_depth_lb = 0
         self._min_depth_pending = 0
 
-    # -- feature hooks -----------------------------------------------------
-    def _subtree_fe(self, delta):
-        if self.do_readability:
-            if delta == 1:
-                self.ancestors.append(self.tag_id)
-            else:
-                self.tag_id = self.ancestors[-1]
-                self.ancestors.pop()
-        if self.do_tagcount:
-            self._depth += delta
-            if self._depth < self._min_depth_pending:
-                self._min_depth_pending = self._depth
-
+    # -- feature hooks (subtree enter/exit inlined in recurse) ---------------
     def _tag_fe(self, tag):
         if self.do_tagcount:
             self._tc += 1
@@ -313,7 +308,7 @@ class _Walker:
             features['block_start_tag'] = self.block_start_tag
             self.results.append(Block(
                 block_text, link_d, text_d, list(self.link_tokens),
-                css or {}, features))
+                css or {}, features, n_bytes=len(btext_b)))
         else:
             if self.do_tagcount:
                 self._tagcount_features(False)
@@ -360,10 +355,14 @@ class _Walker:
         self.link_tokens.extend(_tokens_from_text(anchor_text))
 
     def recurse(self, subtree):
-        # blocks.pyx:581-662
-        self._subtree_fe(1)
+        # blocks.pyx:581-662  (_subtree_fe(1) inlined: hot path)
         if self.do_readability:
+            self.ancestors.append(self.tag_id)
             self._score_node(subtree)
+        if self.do_tagcount:
+            self._depth += 1
+            if self._depth < self._min_depth_pending:
+                self._min_depth_pending = self._depth
 
         children = subtree.children
         if children:
@@ -397,7 +396,14 @@ class _Walker:
                 self.recurse(node)
                 self._add_text(node, 'tail')
 
-        self._subtree_fe(-1)
+        # _subtree_fe(-1) inlined
+        if self.do_readability:
+            self.tag_id = self.ancestors[-1]
+            self.ancestors.pop()
+        if self.do_tagcount:
+            self._depth -= 1
+            if self._depth < self._min_depth_pending:
+                self._min_depth_pending = self._depth
 
 
 def blocks_from_tree(tree: Node, do_tagcount=True, do_css=False,

@@ -30,7 +30,7 @@ def readability_features(blocks):
     ld_den = {}
     valid = set()
 
-    text_lens = [len(b.text.encode('utf-8')) for b in blocks]
+    text_lens = [b.n_bytes for b in blocks]
 
     for k, b in enumerate(blocks):
         for tag_id, w in b.features['readability_class_weights']:

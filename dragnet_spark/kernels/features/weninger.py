@@ -75,7 +75,7 @@ def sx_sdx(x, sigma=1.0):
 def blocks_to_ctrs(blocks):
     n = len(blocks)
     lengths = np.fromiter(
-        (len(b.text.encode('utf-8')) for b in blocks), dtype=np.float64, count=n)
+        (b.n_bytes for b in blocks), dtype=np.float64, count=n)
     tagcounts = np.fromiter(
         (b.features['tagcount'] for b in blocks), dtype=np.float64, count=n)
     return lengths / np.maximum(tagcounts, 1.0)

@@ -199,7 +199,7 @@ class _TreeBuilder(HTMLParser):
             self._ensure_body()
 
         self._autoclose_for(tag)
-        node = Node(tag, _attr_dict(attrs))
+        node = Node(tag, _attr_dict(attrs) if attrs else None)
         self._cur().children.append(node)
         if tag not in VOID_ELEMENTS and len(self.stack) < MAX_DEPTH:
             self.stack.append(node)
@@ -282,6 +282,19 @@ _CDATA_CLOSE = {
     'style': _re.compile(r'</\s*style', _re.IGNORECASE),
 }
 _SIMPLE_TAG = _re.compile(r'<(/?)([a-zA-Z][a-zA-Z0-9]*)>')
+# fast path for fully-quoted well-formed start tags: plain tag name,
+# attrs either valueless or quoted with no quote/&/<> inside (values
+# needing unescaping or tolerant recovery fall through to the full
+# machinery).  On everything it matches, the event stream is identical
+# to _parse_starttag -- enforced by the fast-vs-stdlib fuzz test.
+_FAST_TAG = _re.compile(
+    r'<([a-zA-Z][a-zA-Z0-9]*)'
+    r'((?:\s+[a-zA-Z_][-a-zA-Z0-9_:.]*'
+    r'(?:\s*=\s*(?:"[^"<>&]*"|\'[^\'<>&]*\'))?)*)'
+    r'\s*(/?)>')
+_FAST_ATTR = _re.compile(
+    r'\s+([a-zA-Z_][-a-zA-Z0-9_:.]*)'
+    r'(?:\s*=\s*(?:"([^"<>&]*)"|\'([^\'<>&]*)\'))?')
 _MARKEDSECTIONCLOSE = _re.compile(r']\s*]\s*>')
 _MSMARKEDSECTIONCLOSE = _re.compile(r']\s*>')
 
@@ -439,6 +452,26 @@ def _scan_into(b, rawdata):
                     cdata = tag
             i = sm.end()
             continue
+        if cdata is None:
+            fm = _FAST_TAG.match(rawdata, i)
+            if fm is not None:
+                tag = fm.group(1).lower()
+                raw_attrs = fm.group(2)
+                attrs = []
+                if raw_attrs:
+                    for am in _FAST_ATTR.finditer(raw_attrs):
+                        v = am.group(2)
+                        if v is None:
+                            v = am.group(3)
+                        attrs.append((am.group(1).lower(), v))
+                if fm.group(3):
+                    b.handle_startendtag(tag, attrs)
+                else:
+                    b.handle_starttag(tag, attrs)
+                    if tag in ('script', 'style'):
+                        cdata = tag
+                i = fm.end()
+                continue
         if _hp.starttagopen.match(rawdata, i) and cdata is None:
             k, cdata = _parse_starttag(b, rawdata, i, cdata)
         elif rawdata.startswith('</', i):

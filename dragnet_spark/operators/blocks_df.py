@@ -87,9 +87,10 @@ def blockify_df(df, model=None, features=DEFAULT_FEATURES):
     model = model or default_model()
 
     def to_blocks(batches):
+        from .extract import _spans_rows
         for rb in batches:
             doc_ids = rb.column('doc_id').to_pylist()
-            spans_col = rb.column('spans').to_pylist()
+            spans_col = _spans_rows(rb.column('spans'))
             rows = []
             for doc_id, spans in zip(doc_ids, spans_col):
                 rows.extend(doc_to_block_rows(doc_id, spans or [], model,

@@ -180,6 +180,31 @@ def process_document(spans, model: LogisticModel,
 OUT_BATCH_BYTES = 32 << 20
 
 
+def _spans_rows(spans_arr):
+    """ListArray<struct> -> per-row lists of span dicts via flat field
+    conversion: primitive child arrays convert to Python in one C pass
+    each, instead of one nested StructScalar per span (measured ~5% of
+    the extraction stage)."""
+    offsets = spans_arr.offsets.to_pylist()
+    flat = spans_arr.values
+    kinds = flat.field('kind').to_pylist()
+    texts = flat.field('text').to_pylist()
+    refs = flat.field('media_ref').to_pylist()
+    offs = flat.field('offset').to_pylist()
+    nulls = (spans_arr.is_null().to_pylist()
+             if spans_arr.null_count else None)
+    out = []
+    for i in range(len(spans_arr)):
+        if nulls is not None and nulls[i]:
+            out.append([])
+            continue
+        out.append([
+            {'kind': kinds[j], 'text': texts[j], 'media_ref': refs[j],
+             'offset': offs[j]}
+            for j in range(offsets[i], offsets[i + 1])])
+    return out
+
+
 def make_extract_fn(model, features=DEFAULT_FEATURES):
     """Arrow-batch iterator function for ``DataFrame.mapInArrow``.
 
@@ -192,7 +217,7 @@ def make_extract_fn(model, features=DEFAULT_FEATURES):
     def extract_batches(batches):
         for rb in batches:
             doc_ids = rb.column('doc_id').to_pylist()
-            spans_col = rb.column('spans').to_pylist()
+            spans_col = _spans_rows(rb.column('spans'))
             rows = []
             approx_bytes = 0
             for doc_id, spans in zip(doc_ids, spans_col):

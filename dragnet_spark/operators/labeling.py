@@ -145,9 +145,10 @@ def gold_blocks(spans_df, gold_df, features=DEFAULT_FEATURES):
     joined = spans_df.join(gold_df, 'doc_id')
 
     def gen(batches):
+        from .extract import _spans_rows
         for rb in batches:
             doc_ids = rb.column('doc_id').to_pylist()
-            spans_col = rb.column('spans').to_pylist()
+            spans_col = _spans_rows(rb.column('spans'))
             contents = rb.column('content_text').to_pylist()
             comments = rb.column('comments_text').to_pylist()
             rows = []
