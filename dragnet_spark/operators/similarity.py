@@ -237,19 +237,23 @@ def bucket_candidate_pairs(keyed, id_col, a_col, b_col,
     buckets = (keyed.groupBy('bucket')
                .agg(F.sort_array(F.collect_set(id_col)).alias('ids'))
                .where(F.size('ids') > 1))
-    small = buckets.where(F.size('ids') <= bucket_cap)
-    big = buckets.where(F.size('ids') > bucket_cap)
-    all_pairs = (small.select(F.explode('ids').alias(a_col), 'ids')
-                 .select(a_col, F.explode('ids').alias(b_col))
-                 .where(F.col(a_col) < F.col(b_col))
-                 .withColumn('capped', F.lit(False)))
+    # single-pass pair construction (a small/big branch + union would
+    # recompute the whole upstream signature pipeline once per branch)
     n = F.size('ids')
-    chained = (big.select(F.explode(F.zip_with(
-        F.slice('ids', 1, n - 1), F.slice('ids', 2, n - 1),
-        lambda x, y: F.struct(x.alias('a'), y.alias('b')))).alias('p'))
-        .select(F.col('p.a').alias(a_col), F.col('p.b').alias(b_col))
-        .withColumn('capped', F.lit(True)))
-    return (all_pairs.unionByName(chained)
+    ids = F.col('ids')
+    all_pairs = F.flatten(F.transform(
+        ids,
+        lambda x, i: F.transform(
+            F.slice(ids, i + 2, F.size(ids)),
+            lambda y: F.struct(x.alias('a'), y.alias('b')))))
+    chained = F.zip_with(
+        F.slice(ids, 1, n - 1), F.slice(ids, 2, n - 1),
+        lambda x, y: F.struct(x.alias('a'), y.alias('b')))
+    pairs = F.when(n <= bucket_cap, all_pairs).otherwise(chained)
+    ex = buckets.select(F.explode(pairs).alias('p'),
+                        (n > bucket_cap).alias('capped'))
+    return (ex.select(F.col('p.a').alias(a_col),
+                      F.col('p.b').alias(b_col), 'capped')
             .groupBy(a_col, b_col)
             .agg(F.max('capped').alias('capped')))
 
