@@ -121,12 +121,39 @@ def blockify_spans(spans, do_css=False):
     return out_items, run_blocks, all_blocks, STATUS_OK
 
 
+def _strip_link_tokens(block):
+    """Block text minus its anchor-sourced tokens (right-to-left
+    multiset removal: spam CTA anchors trail the commenter's words).
+    Returns '' when the block was pure anchor text."""
+    if not block.link_tokens:
+        return block.text
+    toks = block.text.split(' ')
+    remaining = {}
+    for t in block.link_tokens:
+        remaining[t] = remaining.get(t, 0) + 1
+    kept = []
+    for t in reversed(toks):
+        if remaining.get(t):
+            remaining[t] -= 1
+        else:
+            kept.append(t)
+    kept.reverse()
+    return ' '.join(kept)
+
+
 def process_document(spans, model: LogisticModel,
-                     features=DEFAULT_FEATURES):
+                     features=DEFAULT_FEATURES, strip_link_tokens=False):
     """One document: list-of-span-dicts -> (out_spans, content_text, status).
 
     Kernel-level (Spark-free) so the span-sequence invariant is directly
     unit-testable.
+
+    ``strip_link_tokens`` removes anchor-sourced tokens from kept blocks
+    (dropping blocks that become empty) -- the comments-extraction mode:
+    comment gold is the commenter's words, while embedded anchors are
+    overwhelmingly CTA/spam chrome ('click here to win').  The reference
+    emits anchor text verbatim (divergence documented; default False
+    keeps reference parity).
     """
     items, run_blocks, all_blocks, status = blockify_spans(spans)
 
@@ -150,7 +177,10 @@ def process_document(spans, model: LogisticModel,
             kept = []
             for b in blocks:
                 if preds[flat_idx]:
-                    kept.append(b.text)
+                    text = (_strip_link_tokens(b) if strip_link_tokens
+                            else b.text)
+                    if text:
+                        kept.append(text)
                 flat_idx += 1
             keep_per_run.append(kept)
         for kind, payload in items:
@@ -205,7 +235,8 @@ def _spans_rows(spans_arr):
     return out
 
 
-def make_extract_fn(model, features=DEFAULT_FEATURES):
+def make_extract_fn(model, features=DEFAULT_FEATURES,
+                    strip_link_tokens=False):
     """Arrow-batch iterator function for ``DataFrame.mapInArrow``.
 
     Output batches are flushed at a byte budget, not just a row count:
@@ -223,7 +254,8 @@ def make_extract_fn(model, features=DEFAULT_FEATURES):
             for doc_id, spans in zip(doc_ids, spans_col):
                 try:
                     out_spans, content, status = process_document(
-                        spans or [], model, features)
+                        spans or [], model, features,
+                        strip_link_tokens=strip_link_tokens)
                 except Exception:
                     # last-resort containment: one pathological document
                     # becomes a status row, never a task failure
@@ -244,7 +276,7 @@ def make_extract_fn(model, features=DEFAULT_FEATURES):
 
 
 def extract(df, model=None, features=DEFAULT_FEATURES,
-            to_extract=('content',)):
+            to_extract=('content',), strip_link_tokens=False):
     """DataFrame[(doc_id, spans)] -> DataFrame[(doc_id, spans,
     content_text, status)] -- the flagship query.
 
@@ -256,7 +288,10 @@ def extract(df, model=None, features=DEFAULT_FEATURES,
     verify with ``result.explain('formatted')`` that no Exchange appears.
     """
     model = model or default_model(to_extract)
-    return df.mapInArrow(make_extract_fn(model, features), EXTRACTED_DDL)
+    return df.mapInArrow(
+        make_extract_fn(model, features,
+                        strip_link_tokens=strip_link_tokens),
+        EXTRACTED_DDL)
 
 
 def extract_content(df, model=None):
@@ -264,9 +299,15 @@ def extract_content(df, model=None):
     return extract(df, model=model, to_extract=('content',))
 
 
-def extract_comments(df, model=None):
-    """M6 convenience: comments extraction (dragnet.extract_comments)."""
-    return extract(df, model=model, to_extract=('comments',))
+def extract_comments(df, model=None, strip_link_tokens=True):
+    """M6 convenience: comments extraction (dragnet.extract_comments).
+
+    Defaults to stripping anchor-sourced tokens from kept blocks: comment
+    gold is the commenter's words; embedded anchors in comment regions
+    are overwhelmingly CTA/spam chrome. Pass strip_link_tokens=False for
+    verbatim reference behavior."""
+    return extract(df, model=model, to_extract=('comments',),
+                   strip_link_tokens=strip_link_tokens)
 
 
 def extract_content_and_comments(df, model=None):

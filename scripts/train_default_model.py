@@ -78,7 +78,10 @@ def main(sf_dir='/root/testdata/sf0.01'):
                 k: round(m[k], 4)
                 for k in ('accuracy', 'precision', 'recall', 'f1')}
 
-        extracted = extract(test_spans, model=model)
+        # comments-only extraction strips anchor-sourced tokens (CTA/spam
+        # chrome inside comment blocks; see extract_comments)
+        extracted = extract(test_spans, model=model,
+                            strip_link_tokens=to_extract == ('comments',))
         tf = token_f1(extracted, gold_for(gold_df, to_extract)).collect()[0]
         report['token_test'] = {k: round(tf[k], 4)
                                 for k in ('precision', 'recall', 'f1')}

@@ -92,6 +92,27 @@ class TestLabeling:
         mid = next(r for r in rows if r['text'].startswith('tok0 '))
         assert mid['content_frac'] == 1.0
 
+    def test_strip_link_tokens_removes_cta_anchor(self):
+        # comments mode: anchor-sourced tokens (CTA spam inside a kept
+        # comment block) are removed from the assembled text; content
+        # mode keeps them (reference parity)
+        from dragnet_spark.kernels.blocks import blockify
+        from dragnet_spark.operators.extract import _strip_link_tokens
+        blocks = blockify(
+            b'<div><p>great insightful comment '
+            b'<a href="http://spam.example/win">click here to win</a>'
+            b'</p></div><p>pad one</p><p>pad two</p>')
+        assert blocks[0].text == ('great insightful comment '
+                                  'click here to win')
+        assert _strip_link_tokens(blocks[0]) == 'great insightful comment'
+        # a pure-anchor block strips to empty (dropped by assembly)
+        link_only = blockify(
+            b'<div><a href="/x">only a link</a></div>'
+            b'<p>pad one</p><p>pad two</p>')
+        assert _strip_link_tokens(link_only[0]) == ''
+        # a block with no anchors is untouched
+        assert _strip_link_tokens(blocks[1]) == 'pad one'
+
     def test_small_doc_not_truncated(self):
         rows = label_document(
             'd', [{'kind': 'text',
