@@ -1,0 +1,145 @@
+"""sklearn-style ``Extractor`` facade (reference parity:
+``/root/reference/dragnet/extractor.py:12-95``).
+
+The function-based API (``operators.extract.extract`` /
+``operators.training.train_model``) is the engine; this class packages it
+with the reference's ergonomics -- construct with a feature/classifier
+choice, ``fit`` on documents + gold, ``extract``/``predict`` afterwards --
+so a reference user can port call sites mechanically.  DataFrames replace
+the reference's lists of HTML strings.
+
+Two classifier backends:
+
+* ``'lr'`` (default): seeded logistic regression -> a 9-coef
+  :class:`~dragnet_spark.model.LogisticModel` applied inside the fused
+  zero-shuffle ``mapInArrow`` inference stage.  The production path.
+* ``'gbt'``: ``pyspark.ml.classification.GBTClassifier`` -- the
+  capability analogue of the reference's default ``ExtraTreesClassifier``
+  (``extractor.py:48``).  Tree ensembles are JVM-side Spark ML models, so
+  inference runs through the exploded blocks DataFrame +
+  ``model.transform`` + a per-document reassembly aggregation (one
+  shuffle) instead of the fused stage; use it when LR's linear boundary
+  underfits and the extra shuffle is acceptable.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from .kernels.features import DEFAULT_FEATURES
+from .operators.extract import extract as _extract
+from .operators.labeling import gold_blocks
+from .operators.training import _label_col, train_model
+
+_PRED_BLOCKS_NOTE = 'as_blocks returns the exploded per-block view'
+
+
+class Extractor:
+    """fit / predict / extract over span-document DataFrames."""
+
+    def __init__(self, to_extract=('content',), features=DEFAULT_FEATURES,
+                 classifier='lr', prob_threshold=0.5, reg_param=1e-4,
+                 max_iter=100, gbt_max_iter=20, gbt_max_depth=5, seed=42):
+        if isinstance(to_extract, str):
+            to_extract = (to_extract,)
+        if classifier not in ('lr', 'gbt'):
+            raise ValueError("classifier must be 'lr' or 'gbt'")
+        self.to_extract = tuple(to_extract)
+        self.features = tuple(features)
+        self.classifier = classifier
+        self.prob_threshold = prob_threshold
+        self.reg_param = reg_param
+        self.max_iter = max_iter
+        self.gbt_max_iter = gbt_max_iter
+        self.gbt_max_depth = gbt_max_depth
+        self.seed = seed
+        self.model = None        # LogisticModel for 'lr'
+        self.spark_model = None  # GBTClassificationModel for 'gbt'
+
+    # -- training ---------------------------------------------------------
+    def fit(self, spans_df, gold_df):
+        """Label blocks via LCS against the gold table, then fit the
+        chosen classifier (Extractor.fit, ``extractor.py:69-95`` --
+        distributed instead of an in-memory concat)."""
+        labeled = gold_blocks(spans_df, gold_df, features=self.features)
+        return self.fit_blocks(labeled)
+
+    def fit_blocks(self, gold_blocks_df):
+        """Fit from an existing labeled-blocks DataFrame."""
+        if self.classifier == 'lr':
+            self.model = train_model(
+                gold_blocks_df, to_extract=self.to_extract,
+                reg_param=self.reg_param, max_iter=self.max_iter,
+                prob_threshold=self.prob_threshold)
+        else:
+            from pyspark.ml.classification import GBTClassifier
+            from pyspark.ml.functions import array_to_vector
+            df = (gold_blocks_df
+                  .where(F.col('features').isNotNull())
+                  .select(array_to_vector('features').alias('fv'),
+                          _label_col(self.to_extract).alias('label'),
+                          F.col('weight').cast('double').alias('weight'))
+                  .where(F.col('label').isNotNull()))
+            gbt = GBTClassifier(featuresCol='fv', labelCol='label',
+                                weightCol='weight',
+                                maxIter=self.gbt_max_iter,
+                                maxDepth=self.gbt_max_depth, seed=self.seed)
+            self.spark_model = gbt.fit(df)
+        return self
+
+    # -- inference --------------------------------------------------------
+    def _require_fitted(self):
+        if self.classifier == 'lr' and self.model is None:
+            from .model import default_model
+            self.model = default_model(self.to_extract)
+        if self.classifier == 'gbt' and self.spark_model is None:
+            raise ValueError('gbt Extractor is not fitted')
+
+    def predict(self, spans_df):
+        """Per-block predictions (Extractor.predict): the exploded blocks
+        DataFrame with a ``pred`` column."""
+        self._require_fitted()
+        if self.classifier == 'lr':
+            from .operators.blocks_df import blockify_df
+            return blockify_df(spans_df, model=self.model,
+                               features=self.features)
+        return self._gbt_blocks(spans_df)
+
+    def _gbt_blocks(self, spans_df):
+        from pyspark.ml.functions import array_to_vector
+        from .operators.blocks_df import blockify_df
+        blocks = blockify_df(spans_df, features=self.features)
+        scored = self.spark_model.transform(
+            blocks.where(F.size('features') > 0)
+            .withColumn('fv', array_to_vector('features')))
+        return (scored.drop('fv', 'rawPrediction', 'probability', 'pred')
+                .withColumn('pred', F.col('prediction').cast('int'))
+                .drop('prediction'))
+
+    def extract(self, spans_df, as_blocks=False):
+        """Assembled extraction (Extractor.extract).
+
+        ``as_blocks=False`` -> (doc_id, spans, content_text, status) via
+        the fused stage for 'lr', or (doc_id, content_text) via the
+        blocks-DataFrame path for 'gbt'; ``as_blocks=True`` -> the
+        per-block view (the reference returns Block objects)."""
+        self._require_fitted()
+        if as_blocks:
+            return self.predict(spans_df)
+        if self.classifier == 'lr':
+            return _extract(spans_df, model=self.model,
+                            features=self.features,
+                            to_extract=self.to_extract)
+        kept = self._gbt_blocks(spans_df).where(F.col('pred') == 1)
+        assembled = (kept.groupBy('doc_id').agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct('block_idx', 'text'))),
+                    lambda e: e['text']),
+                '\n').alias('content_text')))
+        all_docs = spans_df.select('doc_id').distinct()
+        return (all_docs.join(assembled, 'doc_id', 'left')
+                .select('doc_id',
+                        F.coalesce('content_text', F.lit(''))
+                        .alias('content_text')))

@@ -100,10 +100,47 @@ def _tokens_from_text(fragments):
     return out
 
 
+def sniff_encoding_heuristic(markup: bytes) -> str:
+    """chardet-equivalent statistical fallback (the reference's
+    ``default='CHARDET'`` path, ``blocks.pyx:790-793``; chardet itself is
+    not in this container): BOM detection, UTF-16 null-byte striping,
+    strict UTF-8 validity over the head, else cp1252 vs latin-1 by
+    C1-range byte presence."""
+    if markup.startswith(codecs.BOM_UTF32_LE) or \
+            markup.startswith(codecs.BOM_UTF32_BE):
+        return 'utf-32'
+    if markup.startswith(codecs.BOM_UTF8):
+        return 'utf-8-sig'
+    if markup.startswith(codecs.BOM_UTF16_LE) or \
+            markup.startswith(codecs.BOM_UTF16_BE):
+        return 'utf-16'
+    head = markup[:4096]
+    if len(head) >= 16:
+        even_nulls = head[0::2].count(0)
+        odd_nulls = head[1::2].count(0)
+        half = len(head) // 2
+        if odd_nulls > half // 2 and even_nulls < half // 20:
+            return 'utf-16-le'
+        if even_nulls > half // 2 and odd_nulls < half // 20:
+            return 'utf-16-be'
+    try:
+        head.decode('utf-8')
+        return 'utf-8'
+    except UnicodeDecodeError as e:
+        # an error at the truncation boundary is a split multibyte char,
+        # not evidence against utf-8 (only when the head WAS truncated)
+        if len(markup) > len(head) and e.start >= len(head) - 4:
+            return 'utf-8'
+    if any(0x80 <= b <= 0x9F for b in head):
+        return 'cp1252'
+    return 'iso-8859-1'
+
+
 def guess_encoding(markup: bytes, default='utf-8'):
     """Sniff encoding from XML decl (first 1 KiB) then meta charset
-    (first max(2 KiB, 5% len)); blocks.pyx:777-795.  chardet path dropped
-    (not available); callers fall back to the try-decode cascade."""
+    (first max(2 KiB, 5% len)); blocks.pyx:777-795.  ``default='CHARDET'``
+    invokes the statistical sniffer (the reference imports chardet here;
+    :func:`sniff_encoding_heuristic` is the in-container equivalent)."""
     xml_endpos = 1024
     html_endpos = max(2048, int(len(markup) * 0.05))
     mo = RE_XML_ENCODING.search(markup, endpos=xml_endpos)
@@ -112,6 +149,8 @@ def guess_encoding(markup: bytes, default='utf-8'):
     moh = RE_HTML_ENCODING.search(markup, endpos=html_endpos)
     if moh:
         return moh.group(1)
+    if isinstance(default, str) and default.lower() == 'chardet':
+        return sniff_encoding_heuristic(markup)
     return default
 
 

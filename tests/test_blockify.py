@@ -414,3 +414,39 @@ class TestHeadAutoclose:
             b'<html><head><title>t</title></head>'
             b'<body><div>the one block</div></body></html>')
         assert [b.text for b in blocks] == ['t', 'the one block']
+
+
+class TestEncodingSniffer:
+    """chardet-equivalent fallback (guess_encoding default='CHARDET',
+    blocks.pyx:790-793)."""
+
+    def test_bom_detection(self):
+        from dragnet_spark.kernels.blocks import sniff_encoding_heuristic as s
+        assert s('x'.encode('utf-8-sig')) == 'utf-8-sig'
+        assert s('hello page'.encode('utf-16')) == 'utf-16'
+        assert s('hello page'.encode('utf-32')) == 'utf-32'
+
+    def test_bomless_utf16_null_striping(self):
+        from dragnet_spark.kernels.blocks import sniff_encoding_heuristic as s
+        txt = '<html><body><p>plain ascii page text</p></body></html>'
+        assert s(txt.encode('utf-16-le')[2:]
+                 if txt.encode('utf-16-le')[:2] == b'\xff\xfe'
+                 else txt.encode('utf-16-le')) in ('utf-16-le', 'utf-16')
+        assert s(txt.encode('utf-16-be')) == 'utf-16-be'
+
+    def test_utf8_and_latin_discrimination(self):
+        from dragnet_spark.kernels.blocks import sniff_encoding_heuristic as s
+        assert s('résumé 中文 body'.encode('utf-8')) == 'utf-8'
+        assert s('plain ascii only'.encode()) == 'utf-8'
+        assert s('résumé café'.encode('iso-8859-1')) == 'iso-8859-1'
+        assert s('quote “x”'.encode('cp1252')) == 'cp1252'
+
+    def test_guess_encoding_chardet_default(self):
+        from dragnet_spark.kernels.blocks import guess_encoding
+        # meta hint wins over the sniffer
+        assert guess_encoding(
+            b'<meta charset="iso-8859-1">x', default='CHARDET') == b'iso-8859-1'
+        assert guess_encoding(
+            'no hints résumé'.encode('utf-8'), default='CHARDET') == 'utf-8'
+        # plain default path unchanged
+        assert guess_encoding(b'no hints here') == 'utf-8'

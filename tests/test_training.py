@@ -180,3 +180,55 @@ class TestTrainingSpark:
         assert abs(row['precision'] - p) < 1e-12
         assert abs(row['recall'] - r) < 1e-12
         assert abs(row['f1'] - f1) < 1e-12
+
+
+@pytest.mark.spark
+class TestExtractorFacade:
+    """sklearn-style Extractor class (reference extractor.py:12-95)."""
+
+    @pytest.fixture(scope='class')
+    def corpus(self, spark):
+        spans_df, gold_df = synthesize_corpus(
+            spark, '/root/testdata/sf0.001', include_edge_docs=False)
+        return spans_df.cache(), gold_df.cache()
+
+    def test_lr_fit_extract_roundtrip(self, spark, corpus):
+        from dragnet_spark.extractor import Extractor
+        spans_df, gold_df = corpus
+        ex = Extractor(to_extract=('content',)).fit(spans_df, gold_df)
+        assert ex.model is not None and ex.model.coef.shape == (9,)
+        out = ex.extract(spans_df)
+        assert out.columns == ['doc_id', 'spans', 'content_text', 'status']
+        row = token_f1(out, gold_df).collect()[0]
+        assert row['f1'] >= 0.8
+        blocks = ex.extract(spans_df, as_blocks=True)
+        assert 'pred' in blocks.columns and 'block_idx' in blocks.columns
+
+    def test_lr_unfitted_uses_shipped_model(self, spark, corpus):
+        from dragnet_spark.extractor import Extractor
+        spans_df, gold_df = corpus
+        out = Extractor().extract(spans_df.limit(20))
+        assert out.count() == 20
+
+    def test_gbt_fit_extract(self, spark, corpus):
+        from dragnet_spark.extractor import Extractor
+        spans_df, gold_df = corpus
+        small = spans_df.limit(60)
+        ex = Extractor(classifier='gbt', gbt_max_iter=5,
+                       gbt_max_depth=3).fit(small, gold_df)
+        assert ex.spark_model is not None
+        out = ex.extract(small)
+        assert out.columns == ['doc_id', 'content_text']
+        assert out.count() == small.count()
+        row = token_f1(out, gold_df.join(
+            small.select('doc_id').distinct(), 'doc_id')).collect()[0]
+        assert row['f1'] >= 0.7, row
+        blocks = ex.predict(small)
+        assert set(r.pred for r in blocks.select('pred').distinct()
+                   .collect()) <= {0, 1}
+
+    def test_gbt_unfitted_raises(self, spark, corpus):
+        from dragnet_spark.extractor import Extractor
+        spans_df, _ = corpus
+        with pytest.raises(ValueError):
+            Extractor(classifier='gbt').extract(spans_df)
