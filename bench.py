@@ -75,7 +75,13 @@ def run_extraction(spark, sf_dir, amplification, repeats=3):
 
 
 def run_queries(spark, sf_dir):
-    """Per-query wall times for the headline operator set."""
+    """Per-query wall times for the headline operator set.
+
+    Steady-state protocol (r02; matches run_extraction): one untimed
+    warm execution per query, then best-of-2 timed runs.  r01 timed a
+    single cold shot, which conflated python-worker forks + plan
+    compilation with query cost (±50% run-to-run on the same build).
+    """
     import __spark_entry__ as entrymod
     qs = entrymod.queries()
     headline = [
@@ -88,10 +94,15 @@ def run_queries(spark, sf_dir):
     ]
     times = {}
     for name in headline:
-        t0 = time.time()
         df = qs[name](spark, sf_dir)
-        df.write.format('noop').mode('overwrite').save()
-        times[name] = round(time.time() - t0, 3)
+        df.write.format('noop').mode('overwrite').save()  # warm
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            df.write.format('noop').mode('overwrite').save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
     return times
 
 
