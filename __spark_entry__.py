@@ -541,6 +541,35 @@ def q_streaming_dedup_batch(spark, sf_dir):
         F.sum(F.col('is_first_seen').cast('long')).alias('n_first_seen'))
 
 
+def q_checkpoint_resume(spark, sf_dir):
+    """S7 resume semantics, hash-checked end-to-end: a first run
+    processes a doc_id-range prefix, a resumed run anti-joins the
+    completed ranges and finishes the rest; the committed-only reader
+    view must hold every document exactly once across exactly two
+    manifest-committed runs."""
+    import tempfile
+    from dragnet_spark.sources.checkpoint import (
+        extract_resumable, read_extracted, read_manifest)
+    from dragnet_spark.sources.synthesis import synthesize_corpus
+    base = tempfile.mkdtemp(prefix='ckpt_resume_q_')
+    spans_df, _ = synthesize_corpus(spark, sf_dir, include_edge_docs=False)
+    spans_df = spans_df.cache()
+    n = spans_df.count()
+    mid = (spans_df.select('doc_id').orderBy('doc_id')
+           .limit(max(n // 2, 1)).agg(F.max('doc_id')).first()[0])
+    extract_resumable(spark, spans_df.where(F.col('doc_id') <= mid), base,
+                      num_partitions=8)
+    extract_resumable(spark, spans_df, base, num_partitions=8)
+    committed = read_extracted(spark, base)
+    manifest = read_manifest(spark, base)
+    return committed.agg(
+        F.count('*').alias('n_committed'),
+        F.countDistinct('doc_id').alias('n_distinct_docs')).crossJoin(
+        manifest.agg(
+            F.countDistinct('run_id').alias('n_runs'),
+            F.sum('n_docs').alias('n_docs_manifest')))
+
+
 def q_segment_order_stats(spark, sf_dir):
     """Broadcast-join sanity: orders x customer rollup by market segment."""
     orders = spark.read.parquet(f'{sf_dir}/orders.parquet')
@@ -587,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'standardize_zscore': q_standardize_zscore,
         'css_token_flags': q_css_token_flags,
         'streaming_dedup_batch': q_streaming_dedup_batch,
+        'checkpoint_resume': q_checkpoint_resume,
         'pricing_summary': q_pricing_summary,
         'events_sessionize': q_events_sessionize,
         'segment_order_stats': q_segment_order_stats,
@@ -863,6 +893,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    count(DISTINCT md5(text)) AS n_first_seen
             FROM documents GROUP BY 1
+        """,
+        'checkpoint_resume': """
+            SELECT count(*) AS n_committed,
+                   count(*) AS n_distinct_docs,
+                   CAST(2 AS BIGINT) AS n_runs,
+                   count(*) AS n_docs_manifest
+            FROM documents
         """,
         'pricing_summary': """
             SELECT l_returnflag, l_linestatus,
