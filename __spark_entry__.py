@@ -541,6 +541,41 @@ def q_streaming_dedup_batch(spark, sf_dir):
         F.sum(F.col('is_first_seen').cast('long')).alias('n_first_seen'))
 
 
+def q_dedup_after_extraction(spark, sf_dir):
+    """Dedup x extraction showcase: re-skinned mirror documents (same
+    article syndicated under a different template) are invisible to raw-HTML MinHash near-dup -- the differing chrome
+    dominates the shingle stream -- but found once boilerplate is
+    stripped by extraction.  Output: per-method planted-pair hit counts.
+    """
+    from dragnet_spark.operators.dedup import minhash_near_duplicates
+    from dragnet_spark.operators.extract import extract
+    from dragnet_spark.sources.synthesis import synthesize_with_mirrors
+
+    spans = synthesize_with_mirrors(spark, sf_dir).cache()
+    n_mirrors = spans.where(F.col('doc_id').startswith('mirror/')).count()
+
+    raw = spans.select(
+        'doc_id',
+        F.array_join(F.transform('spans', lambda s: s['text']), ' ')
+        .alias('text'))
+    ext = extract(spans).select(
+        'doc_id', F.col('content_text').alias('text'))
+
+    is_planted = (F.col('doc_b') == F.concat(F.lit('mirror/'),
+                                             F.col('doc_a')))
+
+    def hits(pairs_df):
+        return (pairs_df.where(is_planted).count(),
+                pairs_df.where(~is_planted).count())
+
+    raw_hits, raw_other = hits(minhash_near_duplicates(raw, threshold=0.7))
+    ext_hits, ext_other = hits(minhash_near_duplicates(ext, threshold=0.7))
+    return spark.createDataFrame(
+        [(n_mirrors, raw_hits, raw_other, ext_hits, ext_other)],
+        'n_mirror_docs long, raw_pairs_found long, raw_false_pairs long, '
+        'extracted_pairs_found long, extracted_false_pairs long')
+
+
 def q_checkpoint_resume(spark, sf_dir):
     """S7 resume semantics, hash-checked end-to-end: a first run
     processes a doc_id-range prefix, a resumed run anti-joins the
@@ -617,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'css_token_flags': q_css_token_flags,
         'streaming_dedup_batch': q_streaming_dedup_batch,
         'checkpoint_resume': q_checkpoint_resume,
+        'dedup_after_extraction': q_dedup_after_extraction,
         'pricing_summary': q_pricing_summary,
         'events_sessionize': q_events_sessionize,
         'segment_order_stats': q_segment_order_stats,

@@ -51,6 +51,35 @@ SIDEBAR_HTML = ('<div class="sidebar widget"><a href="/top">Top stories</a> '
                 '<a href="/popular">Most popular posts</a></div>')
 COMMENT_SPAM = '<a href="http://spam.example/win">click here to win</a>'
 
+# alternative chrome for the re-skin (mirror-site) near-duplicate demo:
+# same article content syndicated under a different template -- enough
+# differing boilerplate tokens that raw-HTML near-dup detection misses
+# the pair while extracted-content near-dup finds it
+ALT_NAV_HTML = ('<ul class="topnav"><li><a href="/">Front page</a></li>'
+                '<li><a href="/world">World desk</a></li>'
+                '<li><a href="/sport">Sport section</a></li>'
+                '<li><a href="/weather">Local weather</a></li>'
+                '<li><a href="/archive">Story archive</a></li></ul>')
+ALT_SIDEBAR_HTML = (
+    '<div class="promo rail"><h3><a href="/offers">From our partners</a>'
+    '</h3>'
+    '<p><a href="/subscribe">Subscribe today</a> for '
+    '<a href="/digital">unlimited digital access</a> to '
+    '<a href="/desks">every desk</a>, '
+    '<a href="/newsletters">exclusive newsletters</a>, '
+    '<a href="/puzzles">daily puzzles</a> and the '
+    '<a href="/magazine">weekend magazine</a></p>'
+    '<p><a href="/app">Download our mobile application</a> for '
+    '<a href="/alerts">breaking alerts</a>, '
+    '<a href="/scores">live scores</a>, '
+    '<a href="/offline">offline reading</a> and '
+    '<a href="/foryou">personalised recommendations</a></p></div>')
+ALT_FOOTER_HTML = ('<div class="sitefooter"><a href="/imprint">Imprint</a> '
+                   '<a href="/advertising">Advertise with us</a> '
+                   '<a href="/careers">Careers</a> '
+                   '<a href="/accessibility">Accessibility statement</a>'
+                   '</div>')
+
 _WS = re.compile(r'\s+')
 
 
@@ -69,17 +98,28 @@ def _sentences(text, doc_key):
     return parts
 
 
-def make_document(doc_id: str, text: str):
+def make_document(doc_id: str, text: str, chrome: str = 'default',
+                  layout_key: str = None):
     """One deterministic span-doc + gold pair.
 
     Returns (spans, content_text, comments_text) where spans is a list of
     (kind, text, media_ref, offset) tuples.
+
+    ``chrome='alt'`` renders the same content under a different template
+    (mirror-site syndication) -- a near-duplicate of the default
+    rendering whose boilerplate tokens differ.  ``layout_key`` overrides
+    the hash key for layout decisions so a mirror keeps its source's
+    paragraph/comment dealing (default: doc_id).
     """
-    sents = _sentences(text, doc_id)
+    lk = layout_key if layout_key is not None else doc_id
+    sents = _sentences(text, lk)
     # deal sentences round-robin: title, 2-4 paragraphs, quote, 1-2 comments
-    n_paras = 2 + _h(doc_id + ':np', 3)           # 2..4
-    n_comments = 1 + _h(doc_id + ':nc', 2)        # 1..2
+    n_paras = 2 + _h(lk + ':np', 3)           # 2..4
+    n_comments = 1 + _h(lk + ':nc', 2)        # 1..2
     title = _norm(_norm(sents[0])[:80]) or 'Untitled'
+    nav, sidebar, footer = NAV_HTML, SIDEBAR_HTML, FOOTER_HTML
+    if chrome == 'alt':
+        nav, sidebar, footer = ALT_NAV_HTML, ALT_SIDEBAR_HTML, ALT_FOOTER_HTML
 
     paras = [[] for _ in range(n_paras)]
     quote = []
@@ -93,17 +133,17 @@ def make_document(doc_id: str, text: str):
             quote.append(s)
         else:
             comments[slot - n_paras - 1].append(s)
-    paras = [_norm(' '.join(p)) or ('paragraph %d of %s' % (i, doc_id))
+    paras = [_norm(' '.join(p)) or ('paragraph %d of %s' % (i, lk))
              for i, p in enumerate(paras)]
     quote_text = _norm(' '.join(quote))
-    comments = [_norm(' '.join(c)) or ('comment %d on %s' % (i, doc_id))
+    comments = [_norm(' '.join(c)) or ('comment %d on %s' % (i, lk))
                 for i, c in enumerate(comments)]
 
     # ~40% of docs are "hard": content-like boilerplate (related-article
     # fragments built from the doc's own sentences), an extra inline
     # anchor inside a content paragraph, and a cookie banner -- the
     # ambiguity real de-chroming corpora carry
-    hard = _h(doc_id + ':hard', 10) < 4
+    hard = _h(lk + ':hard', 10) < 4
 
     # content div: paragraphs, one inline anchor inside paragraph 0,
     # optional blockquote
@@ -111,13 +151,13 @@ def make_document(doc_id: str, text: str):
     p0_rest = ' '.join(paras[0].split()[3:])
     content_parts = ['<h1>%s</h1>' % title, '<div id="content" class="article">']
     content_parts.append(
-        '<p><a href="/story/%s">%s</a> %s</p>' % (_h(doc_id, 10 ** 6),
+        '<p><a href="/story/%s">%s</a> %s</p>' % (_h(lk, 10 ** 6),
                                                   anchor_words, p0_rest))
     for pi, p in enumerate(paras[1:], start=1):
         if hard and pi == 1 and len(p.split()) > 6:
             toks = p.split()
             p = '%s <a href="/ref/%d">%s</a> %s' % (
-                ' '.join(toks[:2]), _h(doc_id + ':a2', 10 ** 4),
+                ' '.join(toks[:2]), _h(lk + ':a2', 10 ** 4),
                 ' '.join(toks[2:5]), ' '.join(toks[5:]))
         content_parts.append('<p>%s</p>' % p)
     if quote_text:
@@ -130,7 +170,7 @@ def make_document(doc_id: str, text: str):
         frags = [' '.join(p.split()[:6]) for p in paras[:2]]
         related = ''.join(
             '<li><a href="/related/%d">%s ...</a></li>'
-            % (_h(doc_id + str(i), 10 ** 4), f)
+            % (_h(lk + str(i), 10 ** 4), f)
             for i, f in enumerate(frags) if f)
         extra_boilerplate = (
             '<div class="related widget"><h3>Related stories</h3>'
@@ -142,13 +182,13 @@ def make_document(doc_id: str, text: str):
 
     comment_divs = ''.join(
         '<div id="comment%d"><p>%s%s</p></div>'
-        % (i, c, (' ' + COMMENT_SPAM) if i == 0 and _h(doc_id + ':spam', 2) else '')
+        % (i, c, (' ' + COMMENT_SPAM) if i == 0 and _h(lk + ':spam', 2) else '')
         for i, c in enumerate(comments))
     comments_html = '<div class="begin_comments">%s</div>' % comment_divs
 
-    html_head = '<html><body>\n' + NAV_HTML + '\n'
-    html_tail = '\n'.join(['', SIDEBAR_HTML + extra_boilerplate,
-                           comments_html, FOOTER_HTML, '</body></html>'])
+    html_head = '<html><body>\n' + nav + '\n'
+    html_tail = '\n'.join(['', sidebar + extra_boilerplate,
+                           comments_html, footer, '</body></html>'])
 
     # gold: what the blockifier emits for the content region, normalized.
     # anchor text joins its block (blocks.pyx:485-515) so paragraph 0 is
@@ -164,7 +204,7 @@ def make_document(doc_id: str, text: str):
 
     # spans: split deterministically; ~1/3 of docs get media spans which
     # act as hard run boundaries between top-level sections
-    has_media = _h(doc_id + ':media', 3) == 0
+    has_media = _h(lk + ':media', 3) == 0
     spans = []
 
     def add_text(fragment):
@@ -183,7 +223,7 @@ def make_document(doc_id: str, text: str):
 
     add_text(html_head + content_html)
     if has_media:
-        n_media = 1 + _h(doc_id + ':nm', 2)
+        n_media = 1 + _h(lk + ':nm', 2)
         for m in range(n_media):
             spans.append(('media', '', 'img://%s/%d.jpg' % (doc_id, m),
                           len(spans)))
@@ -302,3 +342,56 @@ def synthesize_corpus(spark, sf_dir, amplification=1, include_edge_docs=True,
         spans_df = spans_df.unionByName(spark.createDataFrame(span_rows, spans_type))
         gold_df = gold_df.unionByName(spark.createDataFrame(gold_rows, gold_type))
     return spans_df, gold_df
+
+
+def synthesize_with_mirrors(spark, sf_dir, mod=8, num_partitions=None):
+    """Corpus + re-skinned near-duplicate mirrors (dedup x extraction
+    showcase): every doc whose hash lands on ``mod`` also appears as
+    ``mirror/<doc_id>`` -- same article content dealt by the source's
+    layout key, rendered under the alternative chrome.  Raw-HTML near-dup detection misses these pairs (the
+    differing template dominates the token stream); near-dup over
+    *extracted* content finds them.
+
+    Returns (spans_df, n_expected_mirror_pairs_is_data_dependent).
+    """
+    import pyspark.sql.types as T
+
+    if num_partitions is None:
+        num_partitions = 4 * spark.sparkContext.defaultParallelism
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet').select(
+        'doc_id', 'text')
+    if num_partitions:
+        docs = docs.repartition(num_partitions)
+
+    spans_type = T.StructType([
+        T.StructField('doc_id', T.StringType()),
+        T.StructField('spans', T.ArrayType(T.StructType([
+            T.StructField('kind', T.StringType()),
+            T.StructField('text', T.StringType()),
+            T.StructField('media_ref', T.StringType()),
+            T.StructField('offset', T.IntegerType()),
+        ]))),
+    ])
+
+    def gen(batches):
+        for rb in batches:
+            doc_ids = rb.column('doc_id').to_pylist()
+            texts = rb.column('text').to_pylist()
+            rows = []
+            for did, text in zip(doc_ids, texts):
+                h = _h('%s:0' % did, 10)
+                host = ('h000' if h < 3
+                        else 'h%03d' % (1 + _h('%s:0:host' % did, 97)))
+                sid = '%s/doc-%08d-0' % (host, did)
+                variants = [(sid, 'default', sid)]
+                if _h(sid + ':mirror', mod) == 0:
+                    variants.append(('mirror/' + sid, 'alt', sid))
+                for out_id, chrome, lk in variants:
+                    spans, _, _ = make_document(out_id, text or '',
+                                                chrome=chrome, layout_key=lk)
+                    rows.append({'doc_id': out_id, 'spans': [
+                        {'kind': k, 'text': t, 'media_ref': m, 'offset': o}
+                        for k, t, m, o in spans]})
+            yield pa.RecordBatch.from_pylist(rows, schema=SPANS_SCHEMA)
+
+    return docs.mapInArrow(gen, schema=spans_type)

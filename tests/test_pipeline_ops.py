@@ -213,3 +213,36 @@ class TestMultimodal:
             assert abs(sum(r.features) - 1.0) < 1e-9
         with pytest.raises(NotImplementedError):
             decode_media('image', b'\xff\xd8')
+
+
+@pytest.mark.spark
+class TestDedupAfterExtraction:
+    def test_mirror_pairs_found_only_after_extraction(self, spark):
+        # re-skinned mirrors share content but not chrome: raw-HTML
+        # near-dup misses every planted pair, extracted-content near-dup
+        # finds the bulk of them
+        import sys
+        sys.path.insert(0, '/root/repo')
+        import __spark_entry__ as entry
+        row = entry.q_dedup_after_extraction(
+            spark, '/root/testdata/sf0.001').collect()[0]
+        assert row.n_mirror_docs > 0
+        assert row.raw_pairs_found == 0
+        assert row.extracted_pairs_found >= 0.5 * row.n_mirror_docs
+
+    def test_mirror_content_is_near_duplicate(self, spark):
+        from dragnet_spark.sources.synthesis import make_document
+        spans_a, gold_a, _ = make_document('h001/doc-x', 
+            'First sentence here. Second one follows. Third sentence now. '
+            'Fourth closes it. Fifth adds more. Sixth is last.')
+        spans_b, gold_b, _ = make_document(
+            'mirror/h001/doc-x',
+            'First sentence here. Second one follows. Third sentence now. '
+            'Fourth closes it. Fifth adds more. Sixth is last.',
+            chrome='alt', layout_key='h001/doc-x')
+        # identical gold content; differing rendered chrome
+        assert gold_a == gold_b
+        html_a = ' '.join(t for k, t, m, o in spans_a if k == 'text')
+        html_b = ' '.join(t for k, t, m, o in spans_b if k == 'text')
+        assert 'topnav' in html_b and 'topnav' not in html_a
+        assert html_a != html_b
