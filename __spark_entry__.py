@@ -271,6 +271,23 @@ def q_gold_corrected_roundtrip(spark, sf_dir):
     return parse_corrected(corrected)
 
 
+def q_cleaneval_gold(spark, sf_dir):
+    """S2 CleanEval mode (read_gold_standard_file(cetr=True)): gold is
+    raw HTML whose full text content becomes the content column.  The
+    built markup is simple enough (no entities, no malformed tags) that
+    DuckDB reproduces the parser's text-join with tag-stripping +
+    whitespace squeezing -- a hash check of the cetr reader."""
+    from dragnet_spark.sources.gold_io import parse_corrected_cleaneval
+    docs = _docs(spark, sf_dir)
+    built = docs.select(
+        F.col('doc_id').cast('string').alias('doc_id'),
+        F.concat(F.lit('<html><body><h1>'), F.substring('text', 1, 40),
+                 F.lit('</h1><p>'), F.substring('text', 41, 1_000_000),
+                 F.lit('</p><div>closing words</div></body></html>'))
+        .alias('corrected_text'))
+    return parse_corrected_cleaneval(built)
+
+
 def q_clustered_weninger(spark, sf_dir):
     """F3: KMeans-clustered CETR feature over the blocks DataFrame
     (stateful fit; rows-only check)."""
@@ -645,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'block_metrics_weighted': q_block_metrics_weighted,
         'token_f1_demo': q_token_f1_demo,
         'gold_corrected_roundtrip': q_gold_corrected_roundtrip,
+        'cleaneval_gold': q_cleaneval_gold,
         'media_stats': q_media_stats,
         'kohlschuetter_window': q_kohlschuetter_window,
         'weninger_smooth': q_weninger_smooth,
@@ -843,6 +861,20 @@ def oracle_sql() -> dict[str, str]:
                    trim(p[1]) AS content_text,
                    trim(coalesce(p[2], '')) AS comments_text
             FROM parts
+        """,
+        'cleaneval_gold': """
+            WITH built AS (
+              SELECT doc_id::varchar AS doc_id,
+                     '<html><body><h1>' || substr(text, 1, 40)
+                     || '</h1><p>' || substr(text, 41)
+                     || '</p><div>closing words</div></body></html>' AS h
+              FROM documents
+            )
+            SELECT doc_id,
+                   trim(regexp_replace(h, '(<[^>]*>)+', ' ', 'g'))
+                     AS content_text,
+                   '' AS comments_text
+            FROM built
         """,
         'media_stats': """
             SELECT 'img://' || doc_id || '/0.jpg' AS media_ref,
