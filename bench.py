@@ -46,15 +46,16 @@ def _count_docs(sf_dir, amplification):
 
 
 def run_extraction(spark, sf_dir, amplification, repeats=3):
-    """The flagship job: synthesize + fused extract, count output rows.
+    """The flagship job: synthesize + fused extract in ONE python stage
+    (synthesize_and_extract -- the two-stage form crosses the Arrow
+    boundary twice with fat nested span rows), count output rows.
 
     One untimed pass (python-worker fork + import storm dominates a
     seconds-long run; a 100 TB job amortizes it to noise), then best-of-N
     timed passes (JIT/worker-reuse ramp makes single runs noisy).
     """
-    from dragnet_spark.operators.extract import extract
-    spans_df, _ = _corpus(spark, sf_dir, amplification)
-    result = extract(spans_df)
+    from dragnet_spark.sources.synthesis import synthesize_and_extract
+    result = synthesize_and_extract(spark, sf_dir, amplification)
     result.where("status = 'ok'").count()  # warm
     best = None
     n = 0

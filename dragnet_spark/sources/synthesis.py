@@ -395,3 +395,69 @@ def synthesize_with_mirrors(spark, sf_dir, mod=8, num_partitions=None):
             yield pa.RecordBatch.from_pylist(rows, schema=SPANS_SCHEMA)
 
     return docs.mapInArrow(gen, schema=spans_type)
+
+
+def iter_span_docs(doc_ids, texts, amplification=1):
+    """Yield (doc_id, span_dicts) per synthesized document -- the same id
+    scheme and rendering as :func:`synthesize_batches`, without the
+    intermediate Arrow materialization."""
+    for did, text in zip(doc_ids, texts):
+        for rep in range(amplification):
+            h = _h('%s:%d' % (did, rep), 10)
+            host = ('h000' if h < 3
+                    else 'h%03d' % (1 + _h('%s:%d:host' % (did, rep), 97)))
+            sid = '%s/doc-%08d-%d' % (host, did, rep)
+            spans, _, _ = make_document(sid, text or '')
+            yield sid, [{'kind': k, 'text': t, 'media_ref': m, 'offset': o}
+                        for k, t, m, o in spans]
+
+
+def synthesize_and_extract(spark, sf_dir, amplification=1, model=None,
+                           num_partitions=None):
+    """Synthesis + fused extraction in ONE python stage.
+
+    The two-stage form (synthesize_corpus -> extract) crosses the
+    JVM/Python Arrow boundary twice with fat nested span rows; for the
+    benchmark/batch-job shape (parquet docs in, extracted rows out) the
+    span structs never need to exist JVM-side at all.  Same output as
+    extract(synthesize_corpus(...)[0]) for the no-edge-docs corpus
+    (asserted in tests)."""
+    from ..model import default_model
+    from ..operators.extract import (EXTRACTED_DDL, EXTRACTED_PA_SCHEMA,
+                                     OUT_BATCH_BYTES, STATUS_ERROR,
+                                     process_document)
+
+    model = model or default_model()
+    if num_partitions is None:
+        num_partitions = 4 * spark.sparkContext.defaultParallelism
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet').select(
+        'doc_id', 'text')
+    if num_partitions:
+        docs = docs.repartition(num_partitions)
+
+    def gen(batches):
+        for rb in batches:
+            doc_ids = rb.column('doc_id').to_pylist()
+            texts = rb.column('text').to_pylist()
+            rows = []
+            approx_bytes = 0
+            for sid, span_dicts in iter_span_docs(doc_ids, texts,
+                                                  amplification):
+                try:
+                    out_spans, content, status = process_document(
+                        span_dicts, model)
+                except Exception:
+                    out_spans, content, status = [], '', STATUS_ERROR
+                rows.append({'doc_id': sid, 'spans': out_spans,
+                             'content_text': content, 'status': status})
+                approx_bytes += 2 * len(content) + 64
+                if approx_bytes >= OUT_BATCH_BYTES:
+                    yield pa.RecordBatch.from_pylist(
+                        rows, schema=EXTRACTED_PA_SCHEMA)
+                    rows = []
+                    approx_bytes = 0
+            if rows:
+                yield pa.RecordBatch.from_pylist(
+                    rows, schema=EXTRACTED_PA_SCHEMA)
+
+    return docs.mapInArrow(gen, EXTRACTED_DDL)

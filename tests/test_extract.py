@@ -190,3 +190,18 @@ class TestExtractSpark:
                                         num_partitions=0)
         plan = extract(spans_df)._jdf.queryExecution().executedPlan().toString()
         assert 'Exchange' not in plan, plan
+
+
+@pytest.mark.spark
+def test_fused_synthesize_and_extract_equivalent(spark):
+    # the one-stage bench path must produce exactly the two-stage output
+    from dragnet_spark.operators.extract import extract
+    from dragnet_spark.sources.synthesis import (synthesize_and_extract,
+                                                 synthesize_corpus)
+    sf = '/root/testdata/sf0.001'
+    spans_df, _ = synthesize_corpus(spark, sf, include_edge_docs=False)
+    two = {r.doc_id: (r.content_text, r.status)
+           for r in extract(spans_df).collect()}
+    one = {r.doc_id: (r.content_text, r.status)
+           for r in synthesize_and_extract(spark, sf).collect()}
+    assert one == two
