@@ -91,13 +91,12 @@ def simple_tokenizer(x):
 def _tokens_from_text(fragments):
     """Split each text fragment on the reference's 6 whitespace chars
     (blocks.pyx:106-133); UTF-8 multibyte chars never contain those bytes,
-    so the str-level split is byte-exact."""
-    out = []
-    for frag in fragments:
-        for tok in _WS_SPLIT.split(frag):
-            if tok:
-                out.append(tok)
-    return out
+    so the str-level split is byte-exact.  Joining the fragments with a
+    space first is equivalent (the separator is itself a split char and
+    empties are dropped) and runs one regex pass instead of N."""
+    if not fragments:
+        return []
+    return [t for t in _WS_SPLIT.split(' '.join(fragments)) if t]
 
 
 def sniff_encoding_heuristic(markup: bytes) -> str:
@@ -275,13 +274,15 @@ class _Walker:
         if self.tag_id in self.class_weights_written:
             return
         weight = 0
-        for attrib in _CSS_ATTRIBS:
-            val = node.attrs.get(attrib)
-            if val is not None:
-                if re_readability_negative.search(val):
-                    weight -= 25
-                if re_readability_positive.search(val):
-                    weight += 25
+        attrs = node.attrs
+        if attrs:
+            for attrib in _CSS_ATTRIBS:
+                val = attrs.get(attrib)
+                if val is not None:
+                    if re_readability_negative.search(val):
+                        weight -= 25
+                    if re_readability_positive.search(val):
+                        weight += 25
         tag = node.tag
         if tag == 'div':
             weight += 5

@@ -198,11 +198,17 @@ class _TreeBuilder(HTMLParser):
                 return
             self._ensure_body()
 
-        self._autoclose_for(tag)
+        stack = self.stack
+        while len(stack) > 1:  # _autoclose_for, inlined (hot path)
+            closers = AUTOCLOSE.get(stack[-1].tag)
+            if closers is not None and tag in closers:
+                stack.pop()
+            else:
+                break
         node = Node(tag, _attr_dict(attrs) if attrs else None)
-        self._cur().children.append(node)
-        if tag not in VOID_ELEMENTS and len(self.stack) < MAX_DEPTH:
-            self.stack.append(node)
+        stack[-1].children.append(node)
+        if tag not in VOID_ELEMENTS and len(stack) < MAX_DEPTH:
+            stack.append(node)
 
     def handle_startendtag(self, tag, attrs):
         if tag in VOID_ELEMENTS:
@@ -282,6 +288,7 @@ _CDATA_CLOSE = {
     'style': _re.compile(r'</\s*style', _re.IGNORECASE),
 }
 _SIMPLE_TAG = _re.compile(r'<(/?)([a-zA-Z][a-zA-Z0-9]*)>')
+_SIMPLE_END = _re.compile(r'</([a-zA-Z][a-zA-Z0-9]*)\s*>')
 # fast path for fully-quoted well-formed start tags: plain tag name,
 # attrs either valueless or quoted with no quote/&/<> inside (values
 # needing unescaping or tolerant recovery fall through to the full
@@ -439,39 +446,37 @@ def _scan_into(b, rawdata):
         i = j
         if i == n:
             break
-        sm = _SIMPLE_TAG.match(rawdata, i) if cdata is None else None
-        if sm is not None:
-            # fast path: attribute-less <tag> / </tag> (equivalent to the
-            # tolerant machinery on these strings; fuzz-verified)
-            tag = sm.group(2).lower()
-            if sm.group(1):
-                b.handle_endtag(tag)
-            else:
-                b.handle_starttag(tag, [])
-                if tag in ('script', 'style'):
-                    cdata = tag
-            i = sm.end()
-            continue
+        # fast paths: one regex attempt per tag in the common case
+        # (well-formed start tag, or simple end tag); anything needing
+        # unescaping or tolerant recovery falls through to the full
+        # machinery.  Event-stream equality is fuzz-enforced.
         if cdata is None:
-            fm = _FAST_TAG.match(rawdata, i)
-            if fm is not None:
-                tag = fm.group(1).lower()
-                raw_attrs = fm.group(2)
-                attrs = []
-                if raw_attrs:
-                    for am in _FAST_ATTR.finditer(raw_attrs):
-                        v = am.group(2)
-                        if v is None:
-                            v = am.group(3)
-                        attrs.append((am.group(1).lower(), v))
-                if fm.group(3):
-                    b.handle_startendtag(tag, attrs)
-                else:
-                    b.handle_starttag(tag, attrs)
-                    if tag in ('script', 'style'):
-                        cdata = tag
-                i = fm.end()
-                continue
+            if rawdata.startswith('</', i):
+                em = _SIMPLE_END.match(rawdata, i)
+                if em is not None:
+                    b.handle_endtag(em.group(1).lower())
+                    i = em.end()
+                    continue
+            else:
+                fm = _FAST_TAG.match(rawdata, i)
+                if fm is not None:
+                    tag = fm.group(1).lower()
+                    raw_attrs = fm.group(2)
+                    attrs = []
+                    if raw_attrs:
+                        for am in _FAST_ATTR.finditer(raw_attrs):
+                            v = am.group(2)
+                            if v is None:
+                                v = am.group(3)
+                            attrs.append((am.group(1).lower(), v))
+                    if fm.group(3):
+                        b.handle_startendtag(tag, attrs)
+                    else:
+                        b.handle_starttag(tag, attrs)
+                        if tag in ('script', 'style'):
+                            cdata = tag
+                    i = fm.end()
+                    continue
         if _hp.starttagopen.match(rawdata, i) and cdata is None:
             k, cdata = _parse_starttag(b, rawdata, i, cdata)
         elif rawdata.startswith('</', i):
