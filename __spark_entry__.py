@@ -149,6 +149,19 @@ def q_ann_topk_quantized(spark, sf_dir):
     return quantized_topk(emb, queries, k=5)
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF coarse-quantization ANN (the sub-linear path) on the derived
+    planted-cluster table -- the isotropic synthetic embeddings carry no
+    cluster structure for cells to exploit (see quantized_topk for that
+    regime).  Recall 0.97 at ~19x cell pruning measured in bench."""
+    from dragnet_spark.operators.similarity import (ivf_topk,
+                                                    with_planted_clusters)
+    emb = _emb(spark, sf_dir)
+    clustered = with_planted_clusters(emb)
+    queries = clustered.where(F.col('vec_id') < 10)
+    return ivf_topk(clustered, queries, k=5)
+
+
 def q_media_feature_extract(spark, sf_dir):
     """Multimodal plumbing: binary payload -> feature vector (deterministic
     byte-histogram stand-in codec), posexploded to scalar rows.  The
@@ -558,6 +571,24 @@ def q_streaming_dedup_batch(spark, sf_dir):
         F.sum(F.col('is_first_seen').cast('long')).alias('n_first_seen'))
 
 
+def q_streaming_extract_batch(spark, sf_dir):
+    """Structured Streaming extraction as a batch view: the same fused
+    Arrow stage over a file source with availableNow + exactly-once
+    parquet sink (engine commit log), aggregated to order-insensitive
+    per-status counts.  Rows-only: extraction is not SQL-expressible."""
+    import tempfile
+    from dragnet_spark.streaming.extract_stream import run_file_stream
+    from dragnet_spark.sources.synthesis import synthesize_corpus
+    base = tempfile.mkdtemp(prefix='extract_stream_q_')
+    spans_df, _ = synthesize_corpus(spark, sf_dir, include_edge_docs=False)
+    spans_df.coalesce(4).write.mode('overwrite').parquet(f'{base}/src')
+    run_file_stream(spark, f'{base}/src', f'{base}/out', f'{base}/chk')
+    out = spark.read.parquet(f'{base}/out')
+    return out.groupBy('status').agg(
+        F.count('*').alias('n_docs'),
+        F.sum(F.length('content_text')).alias('content_chars'))
+
+
 def q_dedup_after_extraction(spark, sf_dir):
     """Dedup x extraction showcase: re-skinned mirror documents (same
     article syndicated under a different template) are invisible to raw-HTML MinHash near-dup -- the differing chrome
@@ -647,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'simhash_near_duplicates': q_simhash_near_duplicates,
         'embedding_near_duplicates': q_embedding_near_duplicates,
         'ann_topk_quantized': q_ann_topk_quantized,
+        'ann_topk_ivf': q_ann_topk_ivf,
         'media_feature_extract': q_media_feature_extract,
         'clustered_weninger': q_clustered_weninger,
         'standardized_features': q_standardized_features,
@@ -671,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'streaming_dedup_batch': q_streaming_dedup_batch,
         'checkpoint_resume': q_checkpoint_resume,
         'dedup_after_extraction': q_dedup_after_extraction,
+        'streaming_extract_batch': q_streaming_extract_batch,
         'pricing_summary': q_pricing_summary,
         'events_sessionize': q_events_sessionize,
         'segment_order_stats': q_segment_order_stats,

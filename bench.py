@@ -179,6 +179,44 @@ def ann_recall(spark, sf_dir, k=10, n_queries=50):
     return recall, round(n / n_cand, 2)
 
 
+def ivf_recall(spark, sf_dir, k=10, n_queries=50):
+    """IVF recall/pruning on the planted-cluster table (the sub-linear
+    path needs cluster structure; the raw synthetic embeddings are
+    isotropic).  Pruning = corpus size / avg probed-cell members; at this
+    tiny scale it floors at the planted cluster size (~25)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from dragnet_spark.operators.similarity import (
+        IVF_CELLS, IVF_PROBES, _spherical_kmeans, cosine_topk,
+        ivf_assignments, ivf_topk, with_planted_clusters)
+
+    emb = spark.read.parquet(f'{sf_dir}/embeddings.parquet')
+    clustered = with_planted_clusters(emb).cache()
+    n = clustered.count()
+    queries = clustered.where(F.col('vec_id') < n_queries)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(clustered, queries, k=k).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in ivf_topk(clustered, queries, k=k).collect()}
+    recall = round(len(exact & approx) / max(len(exact), 1), 4)
+
+    sample = clustered.select(F.col('embedding').alias('_v')) \
+        .limit(20000).toPandas()
+    cents = _spherical_kmeans(np.vstack(sample['_v'].to_numpy()), IVF_CELLS)
+    sizes = {r.cell: r['count']
+             for r in ivf_assignments(clustered, cents)
+             .groupBy('cell').count().collect()}
+    qp = queries.select('embedding').toPandas()
+    qm = np.vstack(qp['embedding'].to_numpy())
+    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)
+    order = np.argsort(-(qm @ cents.T), axis=1)[:, :IVF_PROBES]
+    cand = float(np.mean([sum(sizes.get(int(c), 0) for c in row)
+                          for row in order]))
+    clustered.unpersist()
+    return recall, round(n / max(cand, 1.0), 1)
+
+
 def neardup_recall(spark, sf_dir):
     """Embedding near-dup quality/pruning on the planted-duplicate table:
     recall of planted pairs + candidate pruning vs the n^2/2 cross
@@ -268,6 +306,7 @@ def main():
     query_times = run_queries(spark, sf_dir)
     recall, ann_pruning = ann_recall(spark, sf_dir)
     nd_recall, nd_pruning = neardup_recall(spark, sf_dir)
+    iv_recall, iv_pruning = ivf_recall(spark, sf_dir)
     spark.stop()
 
     result = {
@@ -287,6 +326,8 @@ def main():
         'ann_exact_work_pruning_x': ann_pruning,
         'neardup_recall': nd_recall,
         'neardup_candidate_pruning_x': nd_pruning,
+        'ivf_recall_at_10': iv_recall,
+        'ivf_pruning_x': iv_pruning,
     }
     if do_scaling:
         result['scaling'] = scaling_run(sf_dir, amplification)

@@ -342,3 +342,141 @@ def with_planted_duplicates(df, vec_col='embedding', id_col='vec_id',
     base = src.select('vec_id',
                       F.col('_v').cast('array<double>').alias('embedding'))
     return base.unionByName(src.mapInPandas(perturb, out_schema))
+
+
+# -- IVF coarse quantization (the sub-linear layer over the SQ8 scan) ------
+
+IVF_CELLS = 64
+IVF_PROBES = 3
+
+
+def _spherical_kmeans(mat, k, iters=15, seed=42):
+    """Driver-side seeded spherical k-means over a bounded sample."""
+    rs = np.random.RandomState(seed)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                           1e-300)
+    C = mat[rs.choice(len(mat), min(k, len(mat)), replace=False)].copy()
+    for _ in range(iters):
+        assign = (mat @ C.T).argmax(axis=1)
+        for j in range(len(C)):
+            members = mat[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    return C
+
+
+def ivf_assignments(df, centroids, vec_col='embedding', id_col='vec_id'):
+    """(vec_id, cell): nearest-centroid assignment, one Arrow stage with
+    the centroid matrix shipped in the closure (a k x dim float64 array
+    -- a few hundred KB, an implicit broadcast)."""
+    ct = centroids.T
+
+    out_schema = T.StructType([
+        T.StructField('vec_id', T.LongType()),
+        T.StructField('cell', T.IntegerType()),
+    ])
+    src = df.select(F.col(id_col).alias('vec_id'), F.col(vec_col).alias('_v'))
+
+    def assign(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf['_v'].to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                              1e-300)
+            cells = (mat @ ct).argmax(axis=1).astype(np.int32)
+            yield pd.DataFrame({'vec_id': pdf['vec_id'], 'cell': cells})
+
+    return src.mapInPandas(assign, out_schema)
+
+
+def ivf_topk(df, queries_df, k=5, vec_col='embedding', id_col='vec_id',
+             n_cells=IVF_CELLS, n_probe=IVF_PROBES, seed=42,
+             sample_size=20000):
+    """IVF top-k: coarse k-means cells + per-query n_probe nearest cells
+    + exact cosine re-rank of only those cells' members.
+
+    This is the genuinely SUB-LINEAR path (candidates/query ~
+    n * n_probe/n_cells, and cells shrink as n_cells grows with corpus
+    size) -- valid when the corpus HAS cluster structure.  On isotropic
+    data it trades recall for pruning like every geometric method
+    (see quantized_topk); bench.py measures it on the planted-cluster
+    table.  Train-side: seeded driver k-means over a bounded sample
+    (IVF centroids at 10^12 scale come from exactly this recipe).
+    """
+    from pyspark.sql import Window
+
+    sample = (df.select(F.col(vec_col).alias('_v')).limit(sample_size)
+              .toPandas())
+    smat = np.vstack(sample['_v'].to_numpy()).astype(np.float64)
+    centroids = _spherical_kmeans(smat, n_cells, seed=seed)
+
+    corpus_cells = ivf_assignments(df, centroids, vec_col, id_col)
+
+    qpdf = queries_df.select(F.col(id_col).alias('query_id'),
+                             F.col(vec_col).alias('_qv')).toPandas()
+    qmat = np.vstack(qpdf['_qv'].to_numpy()).astype(np.float64)
+    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-300)
+    order = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]
+    probe_rows = [(int(q), int(c))
+                  for q, cells in zip(qpdf['query_id'], order)
+                  for c in cells]
+    probes = df.sparkSession.createDataFrame(
+        probe_rows, 'query_id long, cell int')
+
+    cand = (corpus_cells.join(F.broadcast(probes), 'cell')
+            .where(F.col('vec_id') != F.col('query_id'))
+            .select('query_id', F.col('vec_id').alias('neighbor_id')))
+
+    corpus = with_norm(df, vec_col).select(
+        F.col(id_col).alias('neighbor_id'), F.col(vec_col).alias('_cv'),
+        F.col('_norm').alias('_cn'))
+    queries = with_norm(queries_df, vec_col).select(
+        F.col(id_col).alias('query_id'), F.col(vec_col).alias('_qv'),
+        F.col('_norm').alias('_qn'))
+    joined = cand.join(corpus, 'neighbor_id').join(F.broadcast(queries),
+                                                   'query_id')
+    cosine = (_dot(F.col('_qv'), F.col('_cv'))
+              / F.greatest(F.col('_qn') * F.col('_cn'), F.lit(1e-300)))
+    scored = joined.select('query_id', 'neighbor_id', cosine.alias('_cosine'))
+    w = Window.partitionBy('query_id').orderBy(
+        F.desc('_cosine'), F.asc('neighbor_id'))
+    return (scored.withColumn('rank', F.row_number().over(w))
+            .where(F.col('rank') <= k)
+            .select('query_id', F.col('rank').cast('long').alias('rank'),
+                    'neighbor_id'))
+
+
+def with_planted_clusters(df, n_clusters=20, noise=0.08, vec_col='embedding',
+                          id_col='vec_id', seed=7):
+    """Replace each vector with a deterministic clustered counterpart:
+    vec_id's cluster centroid + gaussian noise, normalized.  The
+    synthetic embeddings are isotropic (no cluster structure for IVF to
+    exploit); this derives the clustered workload IVF is specified
+    against, keyed per vec_id so the table is partitioning-invariant."""
+    dim = df.select(F.size(vec_col)).first()[0]
+    crs = np.random.RandomState(seed)
+    centroids = crs.standard_normal((n_clusters, dim))
+    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    out_schema = T.StructType([
+        T.StructField('vec_id', T.LongType()),
+        T.StructField('embedding', T.ArrayType(T.DoubleType())),
+    ])
+    src = df.select(F.col(id_col).alias('vec_id'))
+
+    def gen(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ids = pdf['vec_id'].to_numpy()
+            out = np.empty((len(ids), dim))
+            for i, vid in enumerate(ids):
+                rs = np.random.RandomState(int(vid) & 0x7FFFFFFF)
+                v = centroids[int(vid) % n_clusters] + \
+                    noise * rs.standard_normal(dim)
+                out[i] = v / max(np.linalg.norm(v), 1e-300)
+            yield pd.DataFrame({'vec_id': ids, 'embedding': list(out)})
+
+    return src.mapInPandas(gen, out_schema)

@@ -246,3 +246,29 @@ class TestDedupAfterExtraction:
         html_b = ' '.join(t for k, t, m, o in spans_b if k == 'text')
         assert 'topnav' in html_b and 'topnav' not in html_a
         assert html_a != html_b
+
+
+@pytest.mark.spark
+class TestIVF:
+    def test_ivf_topk_on_planted_clusters(self, spark):
+        import pyspark.sql.functions as F2
+        from dragnet_spark.operators.similarity import (
+            cosine_topk, ivf_topk, with_planted_clusters)
+        emb = spark.read.parquet('/root/testdata/sf0.001/embeddings.parquet')
+        clustered = with_planted_clusters(emb, n_clusters=5).cache()
+        q = clustered.where(F2.col('vec_id') < 10)
+        exact = {(r.query_id, r.neighbor_id)
+                 for r in cosine_topk(clustered, q, k=5).collect()}
+        approx = {(r.query_id, r.neighbor_id)
+                  for r in ivf_topk(clustered, q, k=5, n_cells=16,
+                                    n_probe=3).collect()}
+        assert len(exact & approx) / len(exact) >= 0.9
+
+    def test_planted_clusters_deterministic(self, spark):
+        from dragnet_spark.operators.similarity import with_planted_clusters
+        emb = spark.read.parquet('/root/testdata/sf0.001/embeddings.parquet')
+        a = sorted(with_planted_clusters(emb)
+                   .selectExpr('vec_id', 'round(embedding[0], 9) e').collect())
+        b = sorted(with_planted_clusters(emb.repartition(7))
+                   .selectExpr('vec_id', 'round(embedding[0], 9) e').collect())
+        assert a == b
