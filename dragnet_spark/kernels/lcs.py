@@ -45,9 +45,18 @@ def longest_common_subsequence(x, y):
             vocab[tok] = len(vocab)
     xc = np.fromiter((vocab[t] for t in x), dtype=np.int64, count=m)
     yc = np.fromiter((vocab.get(t, -1) for t in y), dtype=np.int64, count=n)
+    y_codes = set(yc.tolist())
+    y_codes.discard(-1)
     for i in range(1, m + 1):
         prev = c[i - 1]
-        match = yc == xc[i - 1]
+        xi = xc[i - 1]
+        if xi not in y_codes:
+            # x_i never matches: the row equals the previous row (the
+            # standard LCS identity) -- one memcpy instead of five
+            # vector ops.  Boilerplate-heavy documents skip most rows.
+            c[i] = prev
+            continue
+        match = yc == xi
         cand = np.where(match, prev[:-1] + 1, prev[1:])
         row = np.maximum(prev[1:], cand)
         np.maximum.accumulate(row, out=row)
