@@ -2,10 +2,13 @@
 
 ``entry(spark)`` runs the flagship fused extraction on sf0.001.
 ``queries()`` exposes one entry per implemented operator family from
-SURVEY.md §2 plus the training-data pipeline extras; ``oracle_sql()``
-provides DuckDB-equivalent SQL for every SQL-expressible one (the rest
--- blockify / LCS labeling / extraction / LSH internals -- get the
-weaker rows-only check by design).
+SURVEY.md §2 plus the training-data pipeline extras (39 entries);
+``oracle_sql()`` provides DuckDB-equivalent SQL for every
+SQL-expressible one (23 hash-checked as of r02 -- incl. the
+sequence/window/smoothing feature-math demos, the stateful streaming
+dedup batch view, checkpoint resume, and the CleanEval reader; the rest
+-- blockify / LCS labeling / extraction / ANN internals / partition
+observability -- get the weaker rows-only check by design).
 
 Column-name + value parity rules observed throughout: every computed
 column aliased identically on both sides; float outputs are per-row
@@ -571,6 +574,34 @@ def q_streaming_dedup_batch(spark, sf_dir):
         F.sum(F.col('is_first_seen').cast('long')).alias('n_first_seen'))
 
 
+def q_host_skew_salting(spark, sf_dir):
+    """North-rule skew machinery, observable: ~30% of the corpus shares
+    one host prefix; a plain repartition-by-host puts that share in one
+    task, salt_by_host spreads it across `salts` partitions while keeping
+    each host's rows in at most `salts` tasks.  Output: the max partition
+    share under each strategy (hash partitioning is deterministic).
+    Rows-only: partition internals are not SQL-observable."""
+    from dragnet_spark.plans.partitioning import host_of, salt_by_host
+    from dragnet_spark.sources.synthesis import synthesize_corpus
+    spans_df, _ = synthesize_corpus(spark, sf_dir, include_edge_docs=False)
+    spans_df = spans_df.cache()
+    n = spans_df.count()
+
+    def max_share(df):
+        counts = (df.withColumn('_p', F.spark_partition_id())
+                  .groupBy('_p').count().agg(F.max('count')).first()[0])
+        return round(counts / n, 4)
+
+    unsalted = spans_df.repartition(8, host_of(F.col('doc_id')))
+    salted = salt_by_host(spans_df, 8, salts=8)
+    hot = (spans_df.groupBy(host_of(F.col('doc_id')).alias('h')).count()
+           .agg(F.max('count')).first()[0])
+    return spark.createDataFrame(
+        [(round(hot / n, 4), max_share(unsalted), max_share(salted))],
+        'hot_host_share double, max_partition_share_unsalted double, '
+        'max_partition_share_salted double')
+
+
 def q_streaming_extract_batch(spark, sf_dir):
     """Structured Streaming extraction as a batch view: the same fused
     Arrow stage over a file source with availableNow + exactly-once
@@ -704,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'checkpoint_resume': q_checkpoint_resume,
         'dedup_after_extraction': q_dedup_after_extraction,
         'streaming_extract_batch': q_streaming_extract_batch,
+        'host_skew_salting': q_host_skew_salting,
         'pricing_summary': q_pricing_summary,
         'events_sessionize': q_events_sessionize,
         'segment_order_stats': q_segment_order_stats,
