@@ -1057,7 +1057,8 @@ def oracle_sql() -> dict[str, str]:
                           THEN 1 ELSE 0 END AS ns
               FROM w
             )
-            SELECT user_id, count(*) AS n_events, sum(ns) AS n_sessions
+            SELECT user_id, count(*) AS n_events,
+                   CAST(sum(ns) AS BIGINT) AS n_sessions
             FROM flags GROUP BY 1
         """,
         'segment_order_stats': """

@@ -109,12 +109,18 @@ class Extractor:
         from pyspark.ml.functions import array_to_vector
         from .operators.blocks_df import blockify_df
         blocks = blockify_df(spans_df, features=self.features)
-        scored = self.spark_model.transform(
+        # Score only feature-bearing blocks, then left-join the preds back
+        # so the gbt and lr backends return the SAME per-block row set:
+        # unscorable blocks (empty/short docs) keep pred=0, mirroring
+        # doc_to_block_rows' preds-None fallback on the lr path.
+        scored = (self.spark_model.transform(
             blocks.where(F.size('features') > 0)
             .withColumn('fv', array_to_vector('features')))
-        return (scored.drop('fv', 'rawPrediction', 'probability', 'pred')
-                .withColumn('pred', F.col('prediction').cast('int'))
-                .drop('prediction'))
+            .select('doc_id', 'block_idx',
+                    F.col('prediction').cast('int').alias('_gbt_pred')))
+        return (blocks.join(scored, ['doc_id', 'block_idx'], 'left')
+                .withColumn('pred', F.coalesce('_gbt_pred', F.lit(0)))
+                .drop('_gbt_pred'))
 
     def extract(self, spans_df, as_blocks=False):
         """Assembled extraction (Extractor.extract).

@@ -12,16 +12,29 @@ tie-breaking (``lcs.pyx:88-103``: prefer moving ``j`` when
 ``C[i][j-1] >= C[i-1][j]``) so the chosen LCS -- and therefore the derived
 block labels -- are bit-identical.
 
-Like the reference (``lcs.pyx:30-33``), the DP matrix is ``uint16``; the
-reference *asserts* below 65k tokens, we truncate instead so one huge
-document cannot kill an executor (SURVEY.md §4).  The cap is 8192 tokens
-(not 65k): the backtrack materializes the full ``(m+1, n+1)`` matrix, and
-65k^2 x 2 B is ~8.4 GiB for a single document -- an executor OOM on any
-real web corpus -- while 8192^2 is a bounded ~134 MB per in-flight doc.
-Callers receive inclusion flags only for the covered prefix and must
-treat tokens past the cap as *unknown* (``operators/labeling.py`` emits
-null fracs/labels for uncovered blocks plus a ``truncated`` flag),
-never as unmatched.
+Memory/time bounds (SURVEY.md §4).  The reference materializes the full
+``(m+1, n+1)`` uint16 matrix and *asserts* below 65k tokens
+(``lcs.pyx:30-33``); one huge web document must not kill an executor, so:
+
+* ``m*n <= MAX_TOKENS**2`` (67M cells, <=134 MB): full-matrix backtrack,
+  bit-identical to the reference.  This covers every document either side
+  of which fits the reference's own practical range.
+* ``m*n <= CELL_BUDGET`` (537M cells): Hirschberg divide-and-conquer in
+  O(m+n) space -- a 65k-token document against an 8k-token gold labels
+  *fully* with a few MB of live memory.  LCS length (hence labels) is
+  exact; in rare ambiguous-tie cases the chosen member set can differ
+  from the reference's backtrack (the reference asserts out above 65k
+  tokens, so there is no parity target in this regime).
+* beyond ``CELL_BUDGET``: O(m*n) *time* is the real bound (a 500k x 500k
+  pair is ~2.5e11 cell ops regardless of space), so both sides are capped
+  -- gold to ``MAX_TOKENS``, the document to ``CELL_BUDGET / gold_cap``.
+  Tokens past the document cap are *unknown*, never unmatched; if the
+  GOLD side had to be truncated, every flag is unreliable (a document
+  token whose true match lies past the gold cap would read as
+  unmatched), so callers must treat ALL fracs for that field as unknown.
+  ``check_inclusion_ex`` reports both conditions;
+  ``operators/labeling.py`` emits null fracs/labels accordingly plus a
+  ``truncated`` flag.
 """
 
 from __future__ import annotations
@@ -29,22 +42,37 @@ from __future__ import annotations
 import numpy as np
 
 MAX_TOKENS = 8192
+# Hard per-(doc, gold) DP budget: ~537M cells keeps worst-case labeling
+# of one pathological document to single-digit seconds on one core.
+CELL_BUDGET = MAX_TOKENS * 65536
+# Subproblem size below which Hirschberg falls back to the full-matrix
+# backtrack (4M cells = 8 MB uint16).
+_BASE_CELLS = 1 << 22
 
 
-def longest_common_subsequence(x, y):
-    """Full (m+1, n+1) uint16 LCS matrix over token lists."""
-    m = len(x)
-    n = len(y)
-    c = np.zeros((m + 1, n + 1), dtype=np.uint16)
-    if m == 0 or n == 0:
-        return c
-    # token -> int codes so row comparisons are vectorized
+def _encode(x, y):
+    """Token -> int codes (vocab over x; y tokens absent from x -> -1)."""
     vocab = {}
     for tok in x:
         if tok not in vocab:
             vocab[tok] = len(vocab)
-    xc = np.fromiter((vocab[t] for t in x), dtype=np.int64, count=m)
-    yc = np.fromiter((vocab.get(t, -1) for t in y), dtype=np.int64, count=n)
+    xc = np.fromiter((vocab[t] for t in x), dtype=np.int64, count=len(x))
+    yc = np.fromiter((vocab.get(t, -1) for t in y), dtype=np.int64,
+                     count=len(y))
+    return xc, yc
+
+
+def _matrix(xc, yc):
+    """Full (m+1, n+1) uint16 LCS matrix over code arrays.
+
+    Values are bounded by min(m, n) <= sqrt(m*n) <= MAX_TOKENS whenever
+    this path is taken, so uint16 is safe.
+    """
+    m = len(xc)
+    n = len(yc)
+    c = np.zeros((m + 1, n + 1), dtype=np.uint16)
+    if m == 0 or n == 0:
+        return c
     y_codes = set(yc.tolist())
     y_codes.discard(-1)
     for i in range(1, m + 1):
@@ -64,16 +92,18 @@ def longest_common_subsequence(x, y):
     return c
 
 
-def check_inclusion(x, y):
-    """For each token of ``x``: is it part of the reference-chosen LCS
-    with ``y``?  (lcs.pyx:78-103; vector pinned by test/test_lcs.py:4-8)"""
-    if len(y) == 0:
-        return [False] * len(x)
-    if len(x) == 0:
-        return []
-    x = x[:MAX_TOKENS]
-    y = y[:MAX_TOKENS]
-    c = longest_common_subsequence(x, y)
+def longest_common_subsequence(x, y):
+    """Full (m+1, n+1) uint16 LCS matrix over token lists."""
+    if len(x) == 0 or len(y) == 0:
+        return np.zeros((len(x) + 1, len(y) + 1), dtype=np.uint16)
+    xc, yc = _encode(x, y)
+    return _matrix(xc, yc)
+
+
+def _backtrack(x, y, xc, yc):
+    """Reference-tie-break backtrack over the full matrix
+    (lcs.pyx:78-103; vector pinned by tests/test_features.py)."""
+    c = _matrix(xc, yc)
     i = len(x)
     j = len(y)
     ret = []
@@ -89,3 +119,93 @@ def check_inclusion(x, y):
             i -= 1
     ret.reverse()
     return ret
+
+
+def _last_row(xc, yc):
+    """Last row of the LCS matrix in O(n) space (int32)."""
+    n = len(yc)
+    prev = np.zeros(n + 1, dtype=np.int32)
+    if n == 0 or len(xc) == 0:
+        return prev
+    y_codes = set(yc.tolist())
+    y_codes.discard(-1)
+    cur = np.empty(n + 1, dtype=np.int32)
+    cur[0] = 0
+    for xi in xc:
+        if xi not in y_codes:
+            continue
+        match = yc == xi
+        cand = np.where(match, prev[:-1] + 1, prev[1:])
+        row = np.maximum(prev[1:], cand)
+        np.maximum.accumulate(row, out=row)
+        cur[1:] = row
+        prev, cur = cur, prev
+        cur[0] = 0
+    return prev
+
+
+def _hirschberg(x, y, xc, yc, out):
+    """Append inclusion flags for ``x`` vs ``y`` to ``out`` using
+    linear-space divide and conquer (Hirschberg 1975, CACM 18(6)).
+
+    Subproblems small enough for the full matrix use the exact
+    reference backtrack, so tie-breaking matches the reference
+    everywhere except across the (rare) ambiguous split boundaries of
+    oversized documents.
+    """
+    m = len(x)
+    n = len(y)
+    if m == 0:
+        return
+    if n == 0:
+        out.extend([False] * m)
+        return
+    if m * n <= _BASE_CELLS or m <= 2:
+        out.extend(_backtrack(x, y, xc, yc))
+        return
+    mid = m // 2
+    l1 = _last_row(xc[:mid], yc)
+    l2 = _last_row(xc[mid:][::-1], yc[::-1])
+    k = int(np.argmax(l1 + l2[::-1]))
+    _hirschberg(x[:mid], y[:k], xc[:mid], yc[:k], out)
+    _hirschberg(x[mid:], y[k:], xc[mid:], yc[k:], out)
+
+
+def check_inclusion_ex(x, y):
+    """For each covered token of ``x``: is it part of the LCS with ``y``?
+
+    Returns ``(flags, x_covered, gold_truncated)``:
+
+    * ``flags`` -- inclusion booleans for ``x[:x_covered]``,
+    * ``x_covered`` -- how many leading document tokens were scored
+      (tokens past it are *unknown*, never unmatched),
+    * ``gold_truncated`` -- True when ``y`` itself had to be truncated,
+      in which case every flag is unreliable (a token matching past the
+      gold cap reads as unmatched) and callers must treat all derived
+      fractions as unknown.
+    """
+    m = len(x)
+    n = len(y)
+    if n == 0:
+        return [False] * m, m, False
+    if m == 0:
+        return [], 0, False
+    if m * n <= CELL_BUDGET:
+        y_cap, x_cap = n, m
+    else:
+        y_cap = min(n, MAX_TOKENS)
+        x_cap = min(m, CELL_BUDGET // y_cap)
+    xs = x[:x_cap]
+    ys = y[:y_cap]
+    xc, yc = _encode(xs, ys)
+    if x_cap * y_cap <= MAX_TOKENS * MAX_TOKENS:
+        flags = _backtrack(xs, ys, xc, yc)
+    else:
+        flags = []
+        _hirschberg(xs, ys, xc, yc, flags)
+    return flags, x_cap, y_cap < n
+
+
+def check_inclusion(x, y):
+    """Back-compat wrapper: flags only (covered prefix of ``x``)."""
+    return check_inclusion_ex(x, y)[0]

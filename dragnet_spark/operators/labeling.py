@@ -25,7 +25,7 @@ import pyarrow as pa
 
 from ..kernels.blocks import simple_tokenizer
 from ..kernels.features import DEFAULT_FEATURES, compute
-from ..kernels.lcs import MAX_TOKENS, check_inclusion
+from ..kernels.lcs import check_inclusion_ex
 from .extract import STATUS_OK, blockify_spans
 
 BLOCK_PCT_TOKENS_THRESH = 0.1
@@ -58,19 +58,27 @@ GOLD_BLOCKS_DDL = (
 def _frac_and_tokens(blocks_tokens, all_tokens, block_ids, gs_text):
     """data_processing.py:150-177 equivalent, truncation-aware.
 
-    ``check_inclusion`` covers only the first ``MAX_TOKENS`` of
-    ``all_tokens`` (lcs.py memory bound).  Tokens past the cap are
-    *unknown*, not unmatched: blocks fully past the cap get ``None``
-    fracs (-> null labels, excluded from training) instead of a silent
-    0 label; a block straddling the cap is scored over its covered
-    prefix.  Returns (fracs, matched, truncated).
+    ``check_inclusion_ex`` bounds the per-document LCS cost
+    (lcs.py CELL_BUDGET).  Unknown is never silently 0:
+
+    * document tokens past the covered prefix -> blocks fully past the
+      cap get ``None`` fracs (null labels, excluded from training); a
+      block straddling the cap is scored over its covered prefix;
+    * when the GOLD side itself had to be truncated, a document token
+      whose true match lies past the gold cap would read as unmatched,
+      so ALL fracs for the field are ``None`` (ADVICE r02).
+
+    Returns (fracs, matched, truncated).
     """
     n_blocks = len(blocks_tokens)
     gs_tokens = simple_tokenizer(gs_text)
-    inclusion = check_inclusion(all_tokens, gs_tokens)
-    n_covered = len(inclusion)
-    truncated = (n_covered < len(all_tokens)
-                 or len(gs_tokens) > MAX_TOKENS)
+    inclusion, n_covered, gold_truncated = check_inclusion_ex(
+        all_tokens, gs_tokens)
+    truncated = n_covered < len(all_tokens) or gold_truncated
+    if gold_truncated:
+        fracs = [0.0 if not blocks_tokens[i] else None
+                 for i in range(n_blocks)]
+        return fracs, [[] for _ in range(n_blocks)], True
     counts = [0] * n_blocks
     covered = [0] * n_blocks
     matched = [[] for _ in range(n_blocks)]

@@ -297,6 +297,14 @@ def embedding_near_duplicates(df, threshold=0.9, vec_col='embedding',
 # VERDICT r01); the SQ8 quantized scan replaced it.
 def lsh_topk(df, queries_df, k=5, vec_col='embedding', id_col='vec_id',
              **_compat):
+    if _compat:
+        import warnings
+        warnings.warn(
+            'lsh_topk is a deprecated alias of quantized_topk; ignored '
+            'arguments: %s (the 4-bit LSH parameters bands/bits/seed '
+            'have no quantized-scan equivalent -- tune rerank_frac via '
+            'quantized_topk directly)' % sorted(_compat),
+            DeprecationWarning, stacklevel=2)
     return quantized_topk(df, queries_df, k=k, vec_col=vec_col,
                           id_col=id_col)
 

@@ -64,11 +64,11 @@ class TestLabeling:
         assert len(rows) == 1
         assert rows[0]['features'] is None
 
-    def test_huge_doc_truncates_instead_of_oom(self):
-        # VERDICT r01 #3: a >8k-token doc must flow through labeling with
-        # a bounded DP matrix (~134 MB, not 8.4 GiB), blocks entirely past
-        # the cap getting null (unknown) fracs/labels -- never a silent 0
-        # (ADVICE r01) -- and the doc flagged truncated.
+    def test_huge_doc_labels_fully_without_oom(self):
+        # VERDICT r01 #3 / r02 #9: a >8k-token doc must flow through
+        # labeling with bounded memory.  Since r03 the Hirschberg path
+        # covers this 13k x 13k pair FULLY (it fits CELL_BUDGET) in
+        # linear space -- no truncation, every block labeled.
         import resource
         from dragnet_spark.kernels.lcs import MAX_TOKENS
         big = ' '.join('tok%d' % i for i in range(MAX_TOKENS + 5000))
@@ -81,14 +81,13 @@ class TestLabeling:
             gold, '')
         rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
         assert (rss1 - rss0) < 1 << 20, 'labeling grew RSS by >1 GiB'
-        assert all(r['truncated'] for r in rows)
+        assert not any(r['truncated'] for r in rows)
         by_text = {r['text']: r for r in rows}
         first = by_text['alpha beta gamma']
         assert first['content_frac'] == 1.0 and first['label_content'] == 1
-        last = by_text[tail]  # entirely past the cap: unknown, not 0
-        assert last['content_frac'] is None
-        assert last['label_content'] is None
-        # straddling block scored over its covered prefix
+        last = by_text[tail]  # past the OLD 8k cap: now fully labeled
+        assert last['content_frac'] == 1.0
+        assert last['label_content'] == 1
         mid = next(r for r in rows if r['text'].startswith('tok0 '))
         assert mid['content_frac'] == 1.0
 
