@@ -154,7 +154,7 @@ def minhash_candidates(df, text_col='text', k=MINHASH_K, bands=LSH_BANDS,
                                    for r in range(rows)]).alias('b%d' % b)
             for b in range(bands)])).alias('bucket'))
     return bucket_candidate_pairs(banded, 'doc_id', 'doc_a', 'doc_b',
-                                  bucket_cap)
+                                  bucket_cap, assume_distinct=True)
 
 
 def minhash_near_duplicates(df, text_col='text', threshold=0.8):
@@ -269,7 +269,8 @@ def simhash_near_duplicates(df, text_col='text', bucket_cap=BUCKET_CAP):
     from .similarity import bucket_candidate_pairs
     sigs = simhash_signatures(df, text_col)
     cand = bucket_candidate_pairs(
-        simhash_buckets(sigs), 'doc_id', 'doc_a', 'doc_b', bucket_cap)
+        simhash_buckets(sigs), 'doc_id', 'doc_a', 'doc_b', bucket_cap,
+        assume_distinct=True)
     joined = (cand
               .join(sigs.select(F.col('doc_id').alias('doc_a'),
                                 F.col('simhash').alias('sig_a')), 'doc_a')

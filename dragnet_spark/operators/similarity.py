@@ -227,33 +227,51 @@ def quantized_topk(df, queries_df, k=5, vec_col='embedding', id_col='vec_id',
 
 
 def bucket_candidate_pairs(keyed, id_col, a_col, b_col,
-                           bucket_cap=BUCKET_CAP):
+                           bucket_cap=BUCKET_CAP, assume_distinct=False):
     """(id, bucket) rows -> distinct candidate pairs with a mega-bucket
     cap: buckets holding <= bucket_cap ids emit all pairs; bigger buckets
     (boilerplate/identical-signature families) emit only *chained*
     sorted-adjacent pairs -- linear instead of quadratic per bucket, and
     a duplicate cluster stays discoverable as a connected component.
-    Capped pairs carry ``capped = true`` (no silent caps)."""
-    buckets = (keyed.groupBy('bucket')
-               .agg(F.sort_array(F.collect_set(id_col)).alias('ids'))
-               .where(F.size('ids') > 1))
+    Capped pairs carry ``capped = true`` (no silent caps).
+
+    Memory bound (VERDICT r02 #3): NO per-bucket array is ever larger
+    than ``bucket_cap`` elements.  Instead of ``collect_set`` into one
+    row (which materialized a whole mega-bucket -- 1e8 identical docs =
+    one 1e8-element array = executor OOM), each member row gets the
+    *bounded window frame* of its next ``bucket_cap`` neighbors
+    (``rowsBetween(1, bucket_cap)``); small buckets pair each row with
+    its full following frame (= all pairs), mega-buckets pair each row
+    with only its immediate successor (= the full chain, still covering
+    every member).  The Window exec buffers at most frame-size rows per
+    partition and spills via the external sorter -- a degenerate
+    single-bucket family streams through instead of collecting.
+
+    ``assume_distinct=True`` skips the (bucket, id) de-dup shuffle when
+    the caller guarantees one row per (bucket, id) -- true for all the
+    banded signature pipelines here (band index is hashed into the
+    bucket key).  Stray duplicate ids would only produce a==b pairs,
+    which are filtered."""
+    from pyspark.sql import Window
+
+    members = keyed.select(F.col('bucket').alias('_bk'),
+                           F.col(id_col).alias('_id'))
+    if not assume_distinct:
+        members = members.groupBy('_bk', '_id').agg(F.lit(1).alias('_1')) \
+                         .drop('_1')
+    word = Window.partitionBy('_bk').orderBy('_id')
+    nxt = F.collect_list('_id').over(word.rowsBetween(1, bucket_cap))
+    n = F.count('*').over(Window.partitionBy('_bk'))
     # single-pass pair construction (a small/big branch + union would
     # recompute the whole upstream signature pipeline once per branch)
-    n = F.size('ids')
-    ids = F.col('ids')
-    all_pairs = F.flatten(F.transform(
-        ids,
-        lambda x, i: F.transform(
-            F.slice(ids, i + 2, F.size(ids)),
-            lambda y: F.struct(x.alias('a'), y.alias('b')))))
-    chained = F.zip_with(
-        F.slice(ids, 1, n - 1), F.slice(ids, 2, n - 1),
-        lambda x, y: F.struct(x.alias('a'), y.alias('b')))
-    pairs = F.when(n <= bucket_cap, all_pairs).otherwise(chained)
-    ex = buckets.select(F.explode(pairs).alias('p'),
-                        (n > bucket_cap).alias('capped'))
-    return (ex.select(F.col('p.a').alias(a_col),
-                      F.col('p.b').alias(b_col), 'capped')
+    mates = F.when(n <= bucket_cap, nxt).otherwise(F.slice(nxt, 1, 1))
+    ex = (members
+          .select(F.col('_id').alias('_a'), mates.alias('_mates'),
+                  (n > bucket_cap).alias('capped'))
+          .select('_a', F.explode('_mates').alias('_b'), 'capped')
+          .where(F.col('_a') != F.col('_b')))
+    return (ex.select(F.col('_a').alias(a_col),
+                      F.col('_b').alias(b_col), 'capped')
             .groupBy(a_col, b_col)
             .agg(F.max('capped').alias('capped')))
 
@@ -275,7 +293,7 @@ def embedding_near_duplicates(df, threshold=0.9, vec_col='embedding',
     sigs = lsh_band_signatures(df, vec_col, id_col, bands, bits, seed, dim)
     cand = bucket_candidate_pairs(
         sigs.select('vec_id', 'bucket'), 'vec_id', 'vec_a', 'vec_b',
-        bucket_cap).select('vec_a', 'vec_b')
+        bucket_cap, assume_distinct=True).select('vec_a', 'vec_b')
     vecs = with_norm(df, vec_col).select(
         F.col(id_col).alias('vid'), F.col(vec_col).alias('_v'),
         F.col('_norm').alias('_n'))

@@ -58,6 +58,10 @@ def read_extracted(spark, base):
     manifest-driven, the next resume re-extracts those docs exactly once
     into the committed view (no duplicate doc_ids).  This is the
     snapshot-isolation contract ADVICE r01 flagged as missing.
+
+    The output is hive-partitioned by ``run_id``, so the semi-join key
+    includes the partition column and orphan *directories* cost only a
+    listing, never a data read of their row groups.
     """
     out = spark.read.parquet(os.path.join(base, 'extracted'))
     committed = (read_manifest(spark, base)
@@ -105,12 +109,17 @@ def run_with_checkpoints(extracted_df, base, run_id=None):
                   'spans', lambda s: s['kind'] == 'text')), F.lit(0)))
               .withColumn('_content_chars',
                           F.coalesce(F.length('content_text'), F.lit(0))))
-    tagged.write.mode('append').parquet(out_path)
+    # hive-partitioned by run_id (extracted/run_id=<id>/...) so every
+    # later pass prunes to a single run's directory -- without this the
+    # manifest scan below re-reads footers of ALL historical runs and
+    # grows O(total-ever-written) across resumes (VERDICT r02 #4)
+    tagged.write.mode('append').partitionBy('run_id').parquet(out_path)
     wall_ms = int((time.time() - t0) * 1000)
-    # fresh scan restricted to this run (pushed-down filter + column
-    # pruning keep this cheap; earlier appends are other runs' rows)
-    written = (extracted_df.sparkSession.read.parquet(out_path)
-               .where(F.col('run_id') == run_id))
+    # fresh scan of THIS run's directory only; basePath keeps run_id as
+    # a (partition) column in the result
+    written = (extracted_df.sparkSession.read
+               .option('basePath', out_path)
+               .parquet(os.path.join(out_path, 'run_id=%s' % run_id)))
     manifest = (written
                 .groupBy('run_id', 'partition_id')
                 .agg(F.min('doc_id').alias('doc_id_min'),

@@ -176,6 +176,27 @@ class TestSimilarity:
         assert all(r.b == r.a + 1 for r in capped)
         assert {(r.a, r.b) for r in normal} == {(1000, 1001)}
 
+    def test_bucket_pairs_never_materialize_mega_bucket(self, spark):
+        # VERDICT r02 #3: a degenerate identical-doc family (one bucket,
+        # 100k members) must stream through -- the plan may not
+        # collect_set/collect_list a whole bucket into one row; the only
+        # collect_list is the bounded rowsBetween(1, cap) window frame.
+        from dragnet_spark.operators.similarity import bucket_candidate_pairs
+        keyed = spark.range(100_000).selectExpr(
+            'id as vec_id', 'cast(1 as long) as bucket')
+        out = bucket_candidate_pairs(keyed, 'vec_id', 'a', 'b',
+                                     bucket_cap=256, assume_distinct=True)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert 'collect_set' not in plan.lower(), plan
+        # every collect_list must carry an explicit bounded row frame
+        for frag in plan.lower().split('collect_list')[1:]:
+            frag = frag.replace(' ', '')[:200]
+            assert ('rowsbetween(1,256)' in frag
+                    or 'specifiedwindowframe(rowframe,1,256)' in frag), frag
+        rows = out.collect()
+        assert len(rows) == 99_999          # full chain, linear output
+        assert all(r.capped and r.b == r.a + 1 for r in rows)
+
 
 @pytest.mark.spark
 class TestTextAnalysis:
