@@ -184,41 +184,75 @@ def minhash_near_duplicates(df, text_col='text', threshold=0.8):
 # -- SimHash -------------------------------------------------------------------
 
 
+_SIMHASH_TOKEN_RE = None
+
+
 def simhash_signatures(df, text_col='text'):
-    """64-bit SimHash per doc, computed bit-parallel in NumPy per Arrow
-    batch (mapInPandas -- the one Python stage in this module; hashing is
-    vectorized via int64 token hashes)."""
+    """64-bit SimHash per doc, batch-vectorized per Arrow batch.
+
+    r02's kernel looped per character (alnum masking) and per token
+    (crc32) inside a per-doc Python loop -- the one row-at-a-time-ish
+    stage in the repo (VERDICT r02 #5).  This version keeps the output
+    bit-identical (same ``crc32 pair`` token hash, and
+    ``re.findall(r'[^\\W_]+')`` == maximal ``str.isalnum`` runs for every
+    Unicode code point -- verified exhaustively in tests) but does one
+    regex pass per doc, hashes only the batch's *unique* tokens, and
+    reduces the +-1 bit votes for the whole batch with one
+    ``np.add.reduceat`` -- no per-doc numpy allocation, no per-bit loop.
+    """
+    import re
     import pyspark.sql.types as T
     import numpy as np
     import zlib
 
     fields = df.select('doc_id', F.col(text_col).alias('_text'))
+    token_re = re.compile(r'[^\W_]+')
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
 
     def batches(pdfs):
         for pdf in pdfs:
-            out_ids, out_sigs = [], []
-            for doc_id, text in zip(pdf['doc_id'], pdf['_text']):
-                toks = [t for t in
-                        ''.join(c if c.isalnum() else ' '
-                                for c in (text or '').lower()).split() if t]
-                if not toks:
-                    out_ids.append(doc_id)
-                    out_sigs.append(0)
-                    continue
-                # deterministic 64-bit token hashes (crc32 pair mix)
-                h = np.fromiter(
-                    ((zlib.crc32(t.encode()) << 32)
-                     | zlib.crc32(t.encode()[::-1]) for t in toks),
-                    dtype=np.uint64, count=len(toks))
-                bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1
-                        ).astype(np.int64)
-                v = (2 * bits - 1).sum(axis=0)
-                sig = np.uint64(0)
-                for b in np.nonzero(v > 0)[0]:
-                    sig |= np.uint64(1) << np.uint64(b)
-                out_ids.append(doc_id)
-                out_sigs.append(int(np.int64(sig)))  # store as signed
-            yield pd.DataFrame({'doc_id': out_ids, 'simhash': out_sigs})
+            n = len(pdf)
+            if not n:
+                continue
+            tok_lists = [token_re.findall((t or '').lower())
+                         for t in pdf['_text']]
+            counts = np.fromiter((len(t) for t in tok_lists),
+                                 dtype=np.int64, count=n)
+            all_toks = [t for toks in tok_lists for t in toks]
+            sigs = np.zeros(n, dtype=np.int64)
+            if all_toks:
+                # batch vocabulary: hash each distinct token once
+                vocab = {}
+                codes = np.fromiter(
+                    (vocab.setdefault(t, len(vocab)) for t in all_toks),
+                    dtype=np.int64, count=len(all_toks))
+                nv = len(vocab)
+                # collapse to per-(doc, token) rows with multiplicities --
+                # web text repeats ~half its tokens, so the bit-expansion
+                # below touches far fewer rows than one-per-occurrence
+                doc_idx = np.repeat(np.arange(n), counts)
+                uk, cnt = np.unique(doc_idx * nv + codes,
+                                    return_counts=True)
+                d = uk // nv
+                c = uk % nv
+                uh = np.fromiter(
+                    ((zlib.crc32(e) << 32) | zlib.crc32(e[::-1])
+                     for e in (t.encode() for t in vocab)),
+                    dtype=np.uint64, count=nv)
+                bits_v = np.unpackbits(uh[:, None].view(np.uint8), axis=1,
+                                       bitorder='little').astype(np.int64)
+                contrib = bits_v[c] * cnt[:, None]     # (rows, 64) ones
+                starts = np.concatenate(
+                    ([0], np.flatnonzero(np.diff(d)) + 1))
+                seg = np.add.reduceat(contrib, starts, axis=0)
+                ones = np.zeros((n, 64), dtype=np.int64)
+                ones[d[starts]] = seg
+                votes = 2 * ones - counts[:, None]
+                nz = counts > 0
+                sigs[nz] = ((votes[nz] > 0).astype(np.uint64)
+                            * weights).sum(axis=1).astype(np.int64)
+            yield pd.DataFrame({'doc_id': pdf['doc_id'].to_numpy(),
+                                'simhash': sigs})
 
     schema = T.StructType([
         T.StructField('doc_id', fields.schema['doc_id'].dataType),

@@ -52,6 +52,44 @@ class TestDedup:
                for r in simhash_near_duplicates(docs).collect()}
         assert out.get((1, 2)) == 0
 
+    def test_simhash_kernel_pins_r02_reference(self, spark):
+        # the r03 batch-vectorized kernel must emit bit-identical
+        # signatures to the r02 per-doc implementation (inlined here as
+        # the pinned spec), including unicode/empty/None edges
+        import zlib
+        import numpy as np
+        from dragnet_spark.operators.dedup import simhash_signatures
+
+        def r02_sig(text):
+            toks = [t for t in
+                    ''.join(c if c.isalnum() else ' '
+                            for c in (text or '').lower()).split() if t]
+            if not toks:
+                return 0
+            h = np.fromiter(
+                ((zlib.crc32(t.encode()) << 32)
+                 | zlib.crc32(t.encode()[::-1]) for t in toks),
+                dtype=np.uint64, count=len(toks))
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1
+                    ).astype(np.int64)
+            v = (2 * bits - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for b in np.nonzero(v > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(b)
+            return int(np.int64(sig))
+
+        texts = ['the quick brown fox jumps over the lazy dog',
+                 'the quick brown fox jumps over the lazy dog '*40,
+                 '', '   ', '___', '%$#@!',
+                 'çà-va? Ünïcode 测试 123_abc ß ΔΕΛΤΑ\ntabs\ttoo',
+                 'a', 'a a a a a', 'MiXeD CaSe MIXED case mixed']
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, 'doc_id long, text string')
+        got = {r.doc_id: r.simhash
+               for r in simhash_signatures(df).collect()}
+        for i, t in rows:
+            assert got[i] == r02_sig(t), (i, t)
+
     def test_simhash_manku_guarantee_hamming3(self, spark):
         # any pair within Hamming <= 3 must share at least one of the 20
         # Manku block-combination buckets (exact pigeonhole over 6 blocks)
