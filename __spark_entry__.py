@@ -143,6 +143,18 @@ def q_embedding_near_duplicates(spark, sf_dir):
     return embedding_near_duplicates(planted, threshold=0.9)
 
 
+def q_embedding_near_duplicates_multiprobe(spark, sf_dir):
+    """The 10^9-doc regime configuration: 24-bit band keys (random-pair
+    collisions down 256x vs 16-bit) with 2-probe multi-probe recovering
+    the recall the wider keys would otherwise lose (VERDICT r02 #7;
+    recall >= 0.99 asserted in tests/test_pipeline_ops.py)."""
+    from dragnet_spark.operators.similarity import (
+        embedding_near_duplicates, with_planted_duplicates)
+    planted = with_planted_duplicates(_emb(spark, sf_dir))
+    return embedding_near_duplicates(planted, threshold=0.9, bits=24,
+                                     probes=2)
+
+
 def q_ann_topk_quantized(spark, sf_dir):
     """SQ8 quantized-scan + exact re-rank ANN (replaces r01's 4-bit
     hyperplane LSH, which OR-matched ~64% of the corpus per query)."""
@@ -708,6 +720,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'minhash_near_duplicates': q_minhash_near_duplicates,
         'simhash_near_duplicates': q_simhash_near_duplicates,
         'embedding_near_duplicates': q_embedding_near_duplicates,
+        'embedding_near_duplicates_multiprobe':
+            q_embedding_near_duplicates_multiprobe,
         'ann_topk_quantized': q_ann_topk_quantized,
         'ann_topk_ivf': q_ann_topk_ivf,
         'media_feature_extract': q_media_feature_extract,

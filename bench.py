@@ -140,21 +140,10 @@ def _pinned_extraction_once(cores, sf_dir, amplification):
     raise RuntimeError('pinned run failed: %s' % proc.stderr[-2000:])
 
 
-def _pinned_extraction(cores, sf_dir, amplification, attempts=2):
-    """Best-of-``attempts`` fresh-JVM pinned runs.
-
-    A single JVM's best-of-repeats still carries ~±7% run-to-run spread
-    (JIT tiering, GC placement, python-worker fork timing -- measured in
-    r01, BASELINE.md); throughput capability is the MAX over independent
-    JVMs, and best-of-2 halves the spread of the recorded efficiency.
-    All attempts are recorded for transparency.
-    """
-    runs = [_pinned_extraction_once(cores, sf_dir, amplification)
-            for _ in range(attempts)]
-    best = max(runs, key=lambda r: r['docs_per_sec'])
-    best = dict(best)
-    best['attempts_docs_per_sec'] = [r['docs_per_sec'] for r in runs]
-    return best
+def _median(xs):
+    s = sorted(xs)
+    m = len(s) // 2
+    return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2.0
 
 
 def ann_recall(spark, sf_dir, k=10, n_queries=50):
@@ -238,15 +227,27 @@ def neardup_recall(spark, sf_dir):
              for r in embedding_near_duplicates(planted,
                                                 threshold=0.9).collect()}
     hits = sum((i, i + 1_000_000) in found for i in range(n_base))
-    planted.unpersist()
     recall = round(hits / max(n_base, 1), 4)
     pruning = round((n * (n - 1) / 2.0) / max(n_cand, 1), 1)
-    return recall, pruning
+
+    # the 10^9-doc regime configuration: 24-bit keys + 2-probe
+    # multi-probe (VERDICT r02 #7)
+    mp_cand = bucket_candidate_pairs(
+        lsh_band_signatures(planted, bands=LSH_BANDS, bits=24, probes=2)
+        .select('vec_id', 'bucket'), 'vec_id', 'vec_a', 'vec_b').count()
+    mp_found = {(r.vec_a, r.vec_b)
+                for r in embedding_near_duplicates(
+                    planted, threshold=0.9, bits=24, probes=2).collect()}
+    mp_hits = sum((i, i + 1_000_000) in mp_found for i in range(n_base))
+    planted.unpersist()
+    mp_recall = round(mp_hits / max(n_base, 1), 4)
+    mp_pruning = round((n * (n - 1) / 2.0) / max(mp_cand, 1), 1)
+    return recall, pruning, mp_recall, mp_pruning
 
 
-def scaling_run(sf_dir, amplification):
+def scaling_run(sf_dir, amplification, pairs=3, max_extra_pairs=2):
     """The north rule's two-cluster-size criterion, in-sandbox: the same
-    job at N and 4N cores (CPU-pinned), two pairs.
+    job at N and 4N cores (CPU-pinned), two pairs of levels.
 
     * 2 -> 8 cores: the clean analogue of N -> 4N executors -- both
       levels sit inside the box's linear hardware region, and 4N brings
@@ -255,38 +256,58 @@ def scaling_run(sf_dir, amplification):
       multiprocessing control of the same kernel measures ~0.74 at this
       pair (memory bandwidth / LLC), so it under-states what 4x cluster
       hardware would give.  Reported anyway for transparency.
+
+    Protocol (VERDICT r02 #2): the headline 2->8 efficiency is the
+    MEDIAN over ``pairs`` *paired* fresh-JVM trials -- each trial runs
+    the 2-core job and the 8-core job back-to-back in the same machine
+    window, and yields one efficiency ratio.  r02 took the max over
+    independent per-level attempts, which can pair a lucky 8-core run
+    against an ordinary 2-core one and record a superlinear (>1.0)
+    ratio.  The median of paired ratios cannot be inflated by one quiet-
+    machine outlier.  If the median lands outside the physically sane
+    window [0.78, 1.0] -- too LOW (interference) or too HIGH (still an
+    outlier) symmetrically, per ADVICE r02 -- up to ``max_extra_pairs``
+    additional pairs are run and the median recomputed over ALL pairs;
+    every trial is recorded either way.
     """
     amp_small = max(amplification, 16)
     amp_big = max(amplification, 40)
-    out = {
-        # the gate pair (the clean N->4N analogue) gets best-of-2 JVMs;
-        # the saturated 8->32 pair is reported for transparency only
-        'pinned[2]': _pinned_extraction(2, sf_dir, amp_small, attempts=2),
-        'pinned[8]': _pinned_extraction(8, sf_dir, amp_small, attempts=2),
-        'pinned[8]@big': _pinned_extraction(8, sf_dir, amp_big, attempts=1),
-        'pinned[32]@big': _pinned_extraction(32, sf_dir, amp_big,
-                                             attempts=1),
+
+    def one_pair():
+        lo = _pinned_extraction_once(2, sf_dir, amp_small)
+        hi = _pinned_extraction_once(8, sf_dir, amp_small)
+        return {'pinned[2]': lo, 'pinned[8]': hi,
+                'efficiency': round(
+                    hi['docs_per_sec'] / (4.0 * lo['docs_per_sec']), 4)}
+
+    trials = [one_pair() for _ in range(pairs)]
+    extra = 0
+    while (not 0.78 <= _median([t['efficiency'] for t in trials]) <= 1.0
+           and extra < max_extra_pairs):
+        trials.append(one_pair())
+        extra += 1
+
+    effs = [t['efficiency'] for t in trials]
+    med = _median(effs)
+    med_lo = _median([t['pinned[2]']['docs_per_sec'] for t in trials])
+    med_hi = _median([t['pinned[8]']['docs_per_sec'] for t in trials])
+
+    big8 = _pinned_extraction_once(8, sf_dir, amp_big)
+    big32 = _pinned_extraction_once(32, sf_dir, amp_big)
+
+    return {
+        'protocol': 'median of %d paired fresh-JVM trials'
+                    ' (+%d symmetric retries)' % (pairs, extra),
+        'trials_2_to_8': trials,
+        'pinned[2]': {'docs_per_sec': round(med_lo, 2)},
+        'pinned[8]': {'docs_per_sec': round(med_hi, 2)},
+        'pinned[8]@big': big8,
+        'pinned[32]@big': big32,
+        'scaling_efficiency_2_to_8': round(med, 4),
+        'scaling_efficiency_2_to_8_all': effs,
+        'scaling_efficiency_8_to_32': round(
+            big32['docs_per_sec'] / (4.0 * big8['docs_per_sec']), 4),
     }
-
-    def eff(hi, lo):
-        return out[hi]['docs_per_sec'] / (4.0 * out[lo]['docs_per_sec'])
-
-    # one adaptive extra attempt per level if the pair lands below its
-    # validated center (~0.85 ± 0.07 measured across r01 runs): max over
-    # independent JVMs converges on pinned capability, it cannot inflate it
-    if eff('pinned[8]', 'pinned[2]') < 0.82:
-        for level, cores, amp in (('pinned[2]', 2, amp_small),
-                                  ('pinned[8]', 8, amp_small)):
-            extra = _pinned_extraction_once(cores, sf_dir, amp)
-            out[level]['attempts_docs_per_sec'].append(
-                extra['docs_per_sec'])
-            if extra['docs_per_sec'] > out[level]['docs_per_sec']:
-                out[level].update({k: extra[k]
-                                   for k in ('sec', 'docs', 'docs_per_sec')})
-    out['scaling_efficiency_2_to_8'] = round(eff('pinned[8]', 'pinned[2]'), 4)
-    out['scaling_efficiency_8_to_32'] = round(
-        eff('pinned[32]@big', 'pinned[8]@big'), 4)
-    return out
 
 
 def main():
@@ -305,7 +326,8 @@ def main():
     extract_sec, n_docs = run_extraction(spark, sf_dir, amplification)
     query_times = run_queries(spark, sf_dir)
     recall, ann_pruning = ann_recall(spark, sf_dir)
-    nd_recall, nd_pruning = neardup_recall(spark, sf_dir)
+    nd_recall, nd_pruning, mp_recall, mp_pruning = neardup_recall(spark,
+                                                                  sf_dir)
     iv_recall, iv_pruning = ivf_recall(spark, sf_dir)
     spark.stop()
 
@@ -326,6 +348,8 @@ def main():
         'ann_exact_work_pruning_x': ann_pruning,
         'neardup_recall': nd_recall,
         'neardup_candidate_pruning_x': nd_pruning,
+        'neardup_multiprobe24_recall': mp_recall,
+        'neardup_multiprobe24_pruning_x': mp_pruning,
         'ivf_recall_at_10': iv_recall,
         'ivf_pruning_x': iv_pruning,
     }

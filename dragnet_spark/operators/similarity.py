@@ -95,15 +95,29 @@ def _hyperplanes(dim, n_planes, seed=42):
 
 def lsh_band_signatures(df, vec_col='embedding', id_col='vec_id',
                         bands=LSH_BANDS, bits=LSH_BITS_PER_BAND, seed=42,
-                        dim=None):
-    """(vec_id, band, bucket) rows: one bucket id per band per vector.
+                        dim=None, probes=0):
+    """(vec_id, band, bucket) rows: one bucket id per band per vector,
+    plus ``probes`` multi-probe buckets per band.
 
     Bucket ids namespace the band index in the high bits, so a plain
     equi-join on ``bucket`` is a per-band match.
+
+    Multi-probe (Lv et al., VLDB'07, adapted to sign-random-projection):
+    the bits most likely to differ between two near-duplicates are the
+    ones whose hyperplane projection has the smallest |margin|, so each
+    vector additionally lands in the ``probes`` buckets obtained by
+    flipping its lowest-|projection| bits, one at a time.  Two vectors
+    whose band signatures differ in one marginal bit then still collide
+    (probe-vs-base), so ``bits`` can grow to 24-32 -- collision rate of
+    *random* pairs down by 2^8-2^16 -- without the recall collapse that
+    plain banding suffers; row volume grows only (1 + probes)x.  This is
+    the 10^9-doc regime configuration (module docstring).
     """
     if dim is None:
         dim = df.select(F.size(vec_col)).first()[0]
     planes = _hyperplanes(dim, bands * bits, seed)
+    if bits > 31:
+        raise ValueError('bits must fit a 31-bit bucket key')
 
     out_schema = T.StructType([
         T.StructField('vec_id', T.LongType()),
@@ -118,17 +132,31 @@ def lsh_band_signatures(df, vec_col='embedding', id_col='vec_id',
             if not len(pdf):
                 continue
             mat = np.vstack(pdf['_v'].to_numpy()).astype(np.float64)
-            proj = (mat @ planes.T) > 0            # (n, bands*bits)
+            raw = mat @ planes.T                   # (n, bands*bits)
+            proj = raw > 0
             n = proj.shape[0]
-            ids = np.repeat(pdf['vec_id'].to_numpy(), bands)
-            band_idx = np.tile(np.arange(bands, dtype=np.int64), n)
             sigs = (proj.reshape(n, bands, bits).astype(np.uint64)
                     * weights).sum(axis=2)          # (n, bands)
-            buckets = (sigs.astype(np.int64)
-                       + (band_idx.reshape(n, bands) << 32))
-            yield pd.DataFrame({'vec_id': ids,
-                                'band': band_idx.astype(np.int32),
-                                'bucket': buckets.reshape(-1)})
+            band_ns = np.arange(bands, dtype=np.int64) << 32
+            frames = []
+            base = pd.DataFrame({
+                'vec_id': np.repeat(pdf['vec_id'].to_numpy(), bands),
+                'band': np.tile(np.arange(bands, dtype=np.int32), n),
+                'bucket': (sigs.astype(np.int64) + band_ns).reshape(-1)})
+            frames.append(base)
+            if probes:
+                # per (vec, band): positions of the `probes` smallest
+                # |projection| bits -- flip each one for a probe bucket
+                margins = np.abs(raw).reshape(n, bands, bits)
+                order = np.argsort(margins, axis=2)[:, :, :probes]
+                for p in range(probes):
+                    flip = np.uint64(1) << order[:, :, p].astype(np.uint64)
+                    pb = ((sigs ^ flip).astype(np.int64) + band_ns)
+                    frames.append(pd.DataFrame({
+                        'vec_id': base['vec_id'],
+                        'band': base['band'],
+                        'bucket': pb.reshape(-1)}))
+            yield pd.concat(frames, ignore_index=True)
 
     return src.mapInPandas(batches, out_schema)
 
@@ -279,7 +307,7 @@ def bucket_candidate_pairs(keyed, id_col, a_col, b_col,
 def embedding_near_duplicates(df, threshold=0.9, vec_col='embedding',
                               id_col='vec_id', bands=LSH_BANDS,
                               bits=LSH_BITS_PER_BAND, seed=42,
-                              bucket_cap=BUCKET_CAP):
+                              bucket_cap=BUCKET_CAP, probes=0):
     """Embedding-cosine near-dup pairs: band-bucket candidates + exact
     cosine verify.
 
@@ -290,7 +318,8 @@ def embedding_near_duplicates(df, threshold=0.9, vec_col='embedding',
     :func:`bucket_candidate_pairs`.
     """
     dim = df.select(F.size(vec_col)).first()[0]
-    sigs = lsh_band_signatures(df, vec_col, id_col, bands, bits, seed, dim)
+    sigs = lsh_band_signatures(df, vec_col, id_col, bands, bits, seed, dim,
+                               probes=probes)
     cand = bucket_candidate_pairs(
         sigs.select('vec_id', 'bucket'), 'vec_id', 'vec_a', 'vec_b',
         bucket_cap, assume_distinct=True).select('vec_a', 'vec_b')
