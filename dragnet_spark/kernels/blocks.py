@@ -165,22 +165,100 @@ _MOJIBAKE_HINT = re.compile(
     '\u02dc\u2122\u0161\u203a\u0153\u017e\u0178]')
 
 
-def fix_mojibake(s: str) -> str:
-    """Repair UTF-8 bytes that were decoded as latin-1/cp1252 (the
-    dominant ``ftfy.fix_encoding`` case the reference applies at
-    ``data_processing.py:242,267``; ftfy itself is not in this
-    container).
+#: cp1252 remappings of the 0x80-0x9F byte range (the C1 chars that
+#: render as punctuation/symbols when utf-8 is mis-decoded as cp1252)
+_CP1252_MOJIBAKE_CHARS = frozenset(
+    '€‚ƒ„…†‡ˆ‰Š'
+    '‹ŒŽ‘’“”•–—'
+    '˜™š›œžŸ')
 
-    Conservative: only rewrites when the whole string round-trips --
-    genuine latin-1 text (a lone 'e-acute') fails the re-decode and is
-    returned untouched; ASCII never matches the hint."""
-    if not _MOJIBAKE_HINT.search(s):
-        return s
-    for enc in ('cp1252', 'iso-8859-1'):
+_ENTITY_RE = re.compile(
+    r'&(?:#\d{2,7}|#[xX][0-9a-fA-F]{2,6}|[a-zA-Z][a-zA-Z0-9]{1,30});')
+
+
+def _sloppy_c1_handler(exc):
+    """cp1252 encode fallback for the five bytes cp1252 leaves undefined
+    (0x81 8D 8F 90 9D): mojibake produced by cp1252-with-latin-1-fallback
+    decoders carries them as raw C1 controls (ftfy's 'sloppy-windows-1252'
+    codec exists for exactly this).  Anything else stays an error."""
+    reps = bytes(ord(c) for c in exc.object[exc.start:exc.end]
+                 if 0x80 <= ord(c) <= 0x9f)
+    if len(reps) != exc.end - exc.start:
+        raise exc
+    return reps, exc.end
+
+
+codecs.register_error('dragnet_sloppy_c1', _sloppy_c1_handler)
+
+
+def _roundtrip_utf8(s: str):
+    """One latin-1/cp1252 -> utf-8 repair pass, or None if the string
+    does not wholly round-trip."""
+    for enc, errors in (('cp1252', 'dragnet_sloppy_c1'),
+                        ('iso-8859-1', 'strict')):
         try:
-            return s.encode(enc).decode('utf-8')
+            return s.encode(enc, errors).decode('utf-8')
         except (UnicodeEncodeError, UnicodeDecodeError):
             continue
+    return None
+
+
+def _unescape_mojibake_entities(s: str) -> str:
+    """Decode ONLY the character references that resolve to a single
+    suspicious high-byte char (0x80-0xFF as latin-1, or a cp1252 C1
+    remapping) -- i.e. entities that are themselves mojibake fragments
+    ('&Atilde;&copy;' for an e-acute).  Structural entities
+    (&lt; &amp; ...) and genuine text entities (&eacute; in otherwise
+    clean text) are left untouched."""
+    import html as _html
+
+    def sub(m):
+        d = _html.unescape(m.group(0))
+        if len(d) == 1 and (0x80 <= ord(d) <= 0xff
+                            or d in _CP1252_MOJIBAKE_CHARS):
+            return d
+        return m.group(0)
+
+    return _ENTITY_RE.sub(sub, s)
+
+
+def fix_mojibake(s: str) -> str:
+    """Repair UTF-8 bytes that were decoded as latin-1/cp1252 -- the
+    dominant ``ftfy.fix_encoding`` cases the reference applies at
+    ``data_processing.py:242,267`` (ftfy itself is not in this
+    container), including the r02-deferred tails (VERDICT r02 #8):
+
+    * double-encoding chains: text that went through the utf-8-as-latin-1
+      round trip TWICE repairs iteratively to a fixpoint (capped at 3
+      passes);
+    * entity mixes: mojibake whose high bytes were entity-escaped along
+      the way ('&Atilde;&copy;', '&acirc;&#128;&#156;') is repaired by
+      decoding only those suspicious references, then round-tripping.
+
+    Conservative: a pass only rewrites when the WHOLE string re-decodes
+    as utf-8 -- genuine latin-1 text (a lone e-acute) fails the re-decode
+    and is returned untouched; ASCII never matches the hint; structural
+    entities are never unescaped (the entity path additionally requires
+    the substituted string to carry the mojibake hint AND round-trip,
+    else the original is returned verbatim)."""
+    for _ in range(3):
+        # substitute suspicious entities FIRST so literal + entity-escaped
+        # mojibake in one string repairs in the same whole-string pass
+        cand = (_unescape_mojibake_entities(s)
+                if _ENTITY_RE.search(s) else s)
+        if _MOJIBAKE_HINT.search(cand):
+            fixed = _roundtrip_utf8(cand)
+            if fixed is not None and fixed != s:
+                s = fixed
+                continue
+        if cand != s and _MOJIBAKE_HINT.search(s):
+            # combined round-trip failed (the entities were genuine
+            # text): repair the literal mojibake only
+            fixed = _roundtrip_utf8(s)
+            if fixed is not None and fixed != s:
+                s = fixed
+                continue
+        break
     return s
 
 

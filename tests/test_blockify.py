@@ -361,6 +361,35 @@ class TestEncodingRepair:
         assert fix_mojibake('café au lait') == 'café au lait'
         assert fix_mojibake('plain ascii only') == 'plain ascii only'
 
+    def test_double_encoded_chain_repaired(self):
+        # VERDICT r02 #8: two utf-8-as-latin-1 round trips repair
+        # iteratively to the original, byte-equal
+        from dragnet_spark.kernels.blocks import fix_mojibake
+        for orig in ('café déjà-vu – “smart quotes” …',
+                     'naïve äöü ß', 'Ça va — très bien'):
+            m1 = orig.encode('utf-8').decode('latin-1')
+            m2 = m1.encode('utf-8').decode('latin-1')
+            assert fix_mojibake(m1) == orig
+            assert fix_mojibake(m2) == orig, orig
+
+    def test_entity_mix_mojibake_repaired(self):
+        # mojibake whose high bytes got entity-escaped along the way
+        from dragnet_spark.kernels.blocks import fix_mojibake
+        # '&Atilde;&copy;' == 0xC3 0xA9 == utf-8 'é'
+        assert fix_mojibake('caf&Atilde;&copy; time') == 'café time'
+        # numeric refs: 'â' 0x80 0x9C == utf-8 left curly quote
+        assert fix_mojibake('he said &acirc;&#128;&#156;hi'
+                            '&acirc;&#128;&#157;') == 'he said “hi”'
+        # literal + entity mix in one string
+        assert fix_mojibake('hÃ©llo &Atilde;&copy;!') == 'héllo é!'
+
+    def test_structural_and_clean_entities_untouched(self):
+        from dragnet_spark.kernels.blocks import fix_mojibake
+        for s in ('&lt;script&gt; if 5 &gt; 3 &amp;&amp; x',
+                  'touch&eacute; r&eacute;sum&eacute;',
+                  'A&nbsp;B &#8212; C', '&bogusentity; &#12;'):
+            assert fix_mojibake(s) == s, s
+
     def test_decode_html_repairs_lying_meta_charset(self):
         # utf-8 bytes whose meta tag claims iso-8859-1: the cascade decodes
         # as latin-1 (per the sniff), then the mojibake repair recovers it
