@@ -162,6 +162,20 @@ class _TreeBuilder(HTMLParser):
             for k, v in attrs:
                 self.root.attrs.setdefault(k, v if v is not None else '')
             return
+        if self.body is not None and tag != 'body':
+            # hot path: body established, ordinary content tag
+            stack = self.stack
+            while len(stack) > 1:  # _autoclose_for, inlined
+                closers = AUTOCLOSE.get(stack[-1].tag)
+                if closers is not None and tag in closers:
+                    stack.pop()
+                else:
+                    break
+            node = Node(tag, _attr_dict(attrs) if attrs else None)
+            stack[-1].children.append(node)
+            if tag not in VOID_ELEMENTS and len(stack) < MAX_DEPTH:
+                stack.append(node)
+            return
         if self._cur() is self.root and self.body is None:
             if tag == 'head':
                 self.head = Node('head', _attr_dict(attrs))
@@ -229,25 +243,30 @@ class _TreeBuilder(HTMLParser):
     def handle_data(self, data):
         if not data:
             return
-        cur = self._cur()
-        if cur is self.root and self.body is None:
+        cur = self.stack[-1]
+        if (cur is self.root and self.body is None) or cur is self.head:
             if not data.strip():
                 return  # whitespace between <html> and <body> is dropped
+            if cur is self.head:
+                # non-whitespace text in an unterminated <head>: implicit
+                # </head>, text belongs to body (libxml2 recovery)
+                del self.stack[1:]
             cur = self._ensure_body()
-        elif cur is self.head:
-            if not data.strip():
-                return
-            # non-whitespace text in an unterminated <head>: implicit
-            # </head>, text belongs to body (libxml2 recovery)
-            del self.stack[1:]
-            cur = self._ensure_body()
-        stripped = data.strip()
-        if stripped and not stripped.startswith(('<', '!', '?')):
-            # '<' / '!' / '?' - leading chunks are malformed-markup residue
-            # (e.g. an unterminated comment emitted as data), which libxml2
-            # treats as no document; only matters when the doc has no tags
-            self.saw_text = True
-        self._append_text(cur, data)
+        if not self.saw_text:
+            stripped = data.strip()
+            if stripped and not stripped.startswith(('<', '!', '?')):
+                # '<'/'!'/'?'-leading chunks are malformed-markup residue
+                # (e.g. an unterminated comment emitted as data), which
+                # libxml2 treats as no document; only matters when the
+                # doc has no tags
+                self.saw_text = True
+        # _append_text, inlined (hot path)
+        children = cur.children
+        if children:
+            last = children[-1]
+            last.tail = (last.tail or '') + data
+        else:
+            cur.text = (cur.text or '') + data
 
     def handle_comment(self, data):  # remove_comments=True
         pass
@@ -302,6 +321,14 @@ _FAST_TAG = _re.compile(
 _FAST_ATTR = _re.compile(
     r'\s+([a-zA-Z_][-a-zA-Z0-9_:.]*)'
     r'(?:\s*=\s*(?:"([^"<>&]*)"|\'([^\'<>&]*)\'))?')
+# _SIMPLE_END | _FAST_TAG in one alternation: the scanner main loop does
+# ONE match attempt per tag instead of startswith + two regex calls
+_FAST_EVENT = _re.compile(
+    r'</([a-zA-Z][a-zA-Z0-9]*)\s*>'
+    r'|<([a-zA-Z][a-zA-Z0-9]*)'
+    r'((?:\s+[a-zA-Z_][-a-zA-Z0-9_:.]*'
+    r'(?:\s*=\s*(?:"[^"<>&]*"|\'[^\'<>&]*\'))?)*)'
+    r'\s*(/?)>')
 _MARKEDSECTIONCLOSE = _re.compile(r']\s*]\s*>')
 _MSMARKEDSECTIONCLOSE = _re.compile(r']\s*>')
 
@@ -426,9 +453,14 @@ def _scan_into(b, rawdata):
     i = 0
     n = len(rawdata)
     cdata = None
+    find = rawdata.find
+    fast_event = _FAST_EVENT.match
+    handle_data = b.handle_data
+    handle_starttag = b.handle_starttag
+    handle_endtag = b.handle_endtag
     while i < n:
         if cdata is None:
-            j = rawdata.find('<', i)
+            j = find('<', i)
             if j < 0:
                 j = n
         else:
@@ -439,44 +471,40 @@ def _scan_into(b, rawdata):
                 break  # unterminated raw text dropped (goahead end-block
                        # skips cdata remains)
         if i < j:
-            if cdata is None:
-                b.handle_data(_unescape(rawdata[i:j]))
-            else:
-                b.handle_data(rawdata[i:j])
+            seg = rawdata[i:j]
+            if cdata is None and '&' in seg:
+                seg = _unescape(seg)
+            handle_data(seg)
         i = j
         if i == n:
             break
-        # fast paths: one regex attempt per tag in the common case
+        # fast path: ONE regex attempt per tag in the common case
         # (well-formed start tag, or simple end tag); anything needing
         # unescaping or tolerant recovery falls through to the full
         # machinery.  Event-stream equality is fuzz-enforced.
         if cdata is None:
-            if rawdata.startswith('</', i):
-                em = _SIMPLE_END.match(rawdata, i)
-                if em is not None:
-                    b.handle_endtag(em.group(1).lower())
-                    i = em.end()
-                    continue
-            else:
-                fm = _FAST_TAG.match(rawdata, i)
-                if fm is not None:
-                    tag = fm.group(1).lower()
-                    raw_attrs = fm.group(2)
-                    attrs = []
-                    if raw_attrs:
-                        for am in _FAST_ATTR.finditer(raw_attrs):
-                            v = am.group(2)
-                            if v is None:
-                                v = am.group(3)
-                            attrs.append((am.group(1).lower(), v))
-                    if fm.group(3):
-                        b.handle_startendtag(tag, attrs)
-                    else:
-                        b.handle_starttag(tag, attrs)
-                        if tag in ('script', 'style'):
-                            cdata = tag
+            fm = fast_event(rawdata, i)
+            if fm is not None:
+                end_name, tag, raw_attrs, selfclose = fm.groups()
+                if end_name is not None:
+                    handle_endtag(end_name.lower())
                     i = fm.end()
                     continue
+                tag = tag.lower()
+                attrs = []
+                if raw_attrs:
+                    for am in _FAST_ATTR.finditer(raw_attrs):
+                        name, v1, v2 = am.groups()
+                        attrs.append(
+                            (name.lower(), v1 if v1 is not None else v2))
+                if selfclose:
+                    b.handle_startendtag(tag, attrs)
+                else:
+                    handle_starttag(tag, attrs)
+                    if tag in ('script', 'style'):
+                        cdata = tag
+                i = fm.end()
+                continue
         if _hp.starttagopen.match(rawdata, i) and cdata is None:
             k, cdata = _parse_starttag(b, rawdata, i, cdata)
         elif rawdata.startswith('</', i):
