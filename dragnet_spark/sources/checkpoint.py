@@ -22,6 +22,8 @@ import uuid
 
 import pyspark.sql.functions as F
 
+from . import tables
+
 MANIFEST_SCHEMA = (
     'run_id string, partition_id int, doc_id_min string, doc_id_max string, '
     'n_docs long, n_ok long, n_failed long, n_blocks_kept long, '
@@ -35,7 +37,8 @@ def _manifest_dir(base):
 def read_manifest(spark, base):
     path = _manifest_dir(base)
     try:
-        return spark.read.schema(MANIFEST_SCHEMA).parquet(path)
+        return tables.read_table(spark, 'manifest', path=path) \
+            .to(spark.createDataFrame([], MANIFEST_SCHEMA).schema)
     except Exception:
         return spark.createDataFrame([], MANIFEST_SCHEMA)
 
@@ -109,17 +112,16 @@ def run_with_checkpoints(extracted_df, base, run_id=None):
                   'spans', lambda s: s['kind'] == 'text')), F.lit(0)))
               .withColumn('_content_chars',
                           F.coalesce(F.length('content_text'), F.lit(0))))
-    # hive-partitioned by run_id (extracted/run_id=<id>/...) so every
-    # later pass prunes to a single run's directory -- without this the
+    # partitioned by run_id (extracted/run_id=<id>/... in the parquet
+    # fallback; a hidden partition transform under Iceberg) so every
+    # later pass prunes to a single run's files -- without this the
     # manifest scan below re-reads footers of ALL historical runs and
     # grows O(total-ever-written) across resumes (VERDICT r02 #4)
-    tagged.write.mode('append').partitionBy('run_id').parquet(out_path)
+    tables.append_run_partitioned(tagged, 'extracted', path=out_path)
     wall_ms = int((time.time() - t0) * 1000)
-    # fresh scan of THIS run's directory only; basePath keeps run_id as
-    # a (partition) column in the result
-    written = (extracted_df.sparkSession.read
-               .option('basePath', out_path)
-               .parquet(os.path.join(out_path, 'run_id=%s' % run_id)))
+    # fresh scan of THIS run's files only
+    written = tables.read_run(extracted_df.sparkSession, 'extracted',
+                              run_id, path=out_path)
     manifest = (written
                 .groupBy('run_id', 'partition_id')
                 .agg(F.min('doc_id').alias('doc_id_min'),
@@ -136,7 +138,10 @@ def run_with_checkpoints(extracted_df, base, run_id=None):
                         'n_failed', 'n_blocks_kept', 'content_chars',
                         F.lit(wall_ms).alias('wall_ms'),
                         'content_checksum'))
-    manifest.write.mode('append').parquet(_manifest_dir(base))
+    # the COMMIT POINT: under Iceberg this append is an atomic snapshot
+    # commit (tables.py seam); the parquet fallback pairs it with
+    # committed-only readers (read_extracted)
+    tables.append_table(manifest, 'manifest', path=_manifest_dir(base))
     return run_id
 
 

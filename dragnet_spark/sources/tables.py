@@ -70,3 +70,51 @@ def append_table(df, name, path=None, catalog='lake',
         raise ValueError('no Iceberg catalog and no fallback path for %r'
                          % name)
     df.write.mode('append').parquet(path)
+
+
+# -- the checkpoint/resume seam (VERDICT r02 #10) -----------------------------
+#
+# sources.checkpoint needs exactly three table operations; with an
+# Iceberg runtime each maps to one catalog call, and the parquet
+# fallback reproduces the same CONTRACT (append-only, per-run pruning,
+# committed-only reads via the manifest):
+#
+#   1. append_run_partitioned  -- append extraction output for one run.
+#      Iceberg: plain snapshot append (the spec's hidden partition
+#      transform on run_id clusters files); parquet: hive-style
+#      ``<path>/run_id=<id>/`` directories.
+#   2. read_run                -- read back ONE run's rows, pruned to
+#      that run's files (Iceberg partition pruning / the run directory).
+#   3. append_table (manifest) -- the COMMIT POINT.  Iceberg: the
+#      manifest append is an atomic snapshot commit, closing the
+#      output/manifest gap the parquet fallback documents in
+#      checkpoint.read_extracted; parquet: append + committed-only
+#      readers.
+#
+# Swapping in the runtime jar touches nothing outside this module.
+
+
+def append_run_partitioned(df, name, path=None, catalog='lake'):
+    """Append run-tagged rows (must carry a ``run_id`` column), laid out
+    so per-run reads prune to the run's files."""
+    spark = df.sparkSession
+    if catalog_available(spark, catalog):
+        df.writeTo('%s.%s' % (catalog, name)).append()
+        return
+    if path is None:
+        raise ValueError('no Iceberg catalog and no fallback path for %r'
+                         % name)
+    df.write.mode('append').partitionBy('run_id').parquet(path)
+
+
+def read_run(spark, name, run_id, path=None, catalog='lake'):
+    """One run's rows, reading only that run's files."""
+    if catalog_available(spark, catalog):
+        return (spark.read.table('%s.%s' % (catalog, name))
+                .where(F.col('run_id') == run_id))
+    if path is None:
+        raise ValueError('no Iceberg catalog and no fallback path for %r'
+                         % name)
+    import os
+    return (spark.read.option('basePath', path)
+            .parquet(os.path.join(path, 'run_id=%s' % run_id)))
