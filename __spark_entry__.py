@@ -351,6 +351,32 @@ def q_media_stats(spark, sf_dir):
     return media_stats(media_table(_docs(spark, sf_dir)))
 
 
+def q_pdf_layout_blocks(spark, sf_dir):
+    """PDF/layout parse (north rule): deterministic PDF payloads rendered
+    from the documents table, parsed back into ordered layout blocks
+    (from-scratch PDF 1.4 subset: FlateDecode + text operators + layout
+    grouping -- kernels/pdf.py).  Block positions/kinds are not
+    SQL-derivable -> rows-only; the content round-trip is hash-checked
+    by pdf_extract_content."""
+    from dragnet_spark.operators.pdf_extract import (pdf_corpus,
+                                                     pdf_layout_blocks)
+    return (pdf_layout_blocks(pdf_corpus(spark, sf_dir))
+            .select('doc_id', F.col('page').cast('long').alias('page'),
+                    F.col('block_idx').cast('long').alias('block_idx'),
+                    'kind', F.round('size', 1).alias('size'),
+                    F.round('y_top', 1).alias('y_top'), 'text'))
+
+
+def q_pdf_extract_content(spark, sf_dir):
+    """De-chromed PDF content: write -> Flate -> parse -> layout ->
+    furniture strip must reproduce the whitespace-normalized source text
+    byte-for-byte (hash-checked against a pure-SQL oracle)."""
+    from dragnet_spark.operators.pdf_extract import (pdf_corpus,
+                                                     pdf_extract_content)
+    return (pdf_extract_content(pdf_corpus(spark, sf_dir))
+            .select('doc_id', 'title', 'content_text'))
+
+
 def q_pricing_summary(spark, sf_dir):
     """Relational-engine sanity (Catalyst-free aggregation): TPC-H Q1-style
     pricing summary with exact decimal sums cast to double."""
@@ -741,6 +767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'gold_corrected_roundtrip': q_gold_corrected_roundtrip,
         'cleaneval_gold': q_cleaneval_gold,
         'media_stats': q_media_stats,
+        'pdf_layout_blocks': q_pdf_layout_blocks,
+        'pdf_extract_content': q_pdf_extract_content,
         'kohlschuetter_window': q_kohlschuetter_window,
         'weninger_smooth': q_weninger_smooth,
         'standardize_zscore': q_standardize_zscore,
@@ -954,6 +982,17 @@ def oracle_sql() -> dict[str, str]:
                      AS content_text,
                    '' AS comments_text
             FROM built
+        """,
+        'pdf_extract_content': """
+            -- the PDF write -> parse -> layout -> de-chrome round trip
+            -- must reproduce the whitespace-normalized source text
+            SELECT doc_id::varchar AS doc_id,
+                   'Document ' || doc_id AS title,
+                   regexp_replace(
+                     regexp_replace(coalesce(text, ''), '^\\s+|\\s+$',
+                                    '', 'g'),
+                     '\\s+', ' ', 'g') AS content_text
+            FROM documents
         """,
         'media_stats': """
             SELECT 'img://' || doc_id || '/0.jpg' AS media_ref,

@@ -1,0 +1,489 @@
+"""Minimal PDF text + layout kernel (north rule: "PDF/layout parse").
+
+No PDF library ships in this container, so this implements the subset
+of PDF 1.4 (public ISO 32000 spec) that page-oriented text documents
+actually use, from scratch:
+
+* :func:`make_pdf` -- deterministic writer: Helvetica text positioned
+  with ``Tm``/``Td``, one FlateDecoded content stream per page, correct
+  xref table.  It is the test/bench fixture generator AND the living
+  specification of what the parser supports.
+* :func:`extract_text_runs` -- parser: finds ``N 0 obj .. endobj``
+  objects, inflates ``/FlateDecode`` streams (stdlib zlib), and
+  interprets the text operators ``BT ET Tf Td TD Tm T* TL Tj TJ ' "``
+  into positioned runs ``(page, x, y, size, text)``.  Literal strings
+  handle the ``\\`` escapes and octal codes; hex strings are decoded as
+  latin-1 (the writer's WinAnsi subset).
+* :func:`layout_blocks` -- layout analysis: runs -> lines (shared
+  baseline within half the font size) -> blocks (split on vertical gaps
+  > 1.8x the dominant leading or font-size changes), top-down reading
+  order, ``heading``/``body`` kinds by relative font size.
+* :func:`strip_repeated_furniture` -- the layout de-chroming step:
+  blocks whose normalized text recurs at the same position on most
+  pages (running headers/footers, page numbers ``Page N`` normalized)
+  are boilerplate, the PDF analogue of dragnet's DOM chrome.
+
+Scale shape: everything here is a pure per-document kernel -- the Spark
+operator (``operators/pdf_extract.py``) maps it over Arrow batches of
+``binary`` payloads, exactly like the HTML blockifier.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+PAGE_W = 612
+PAGE_H = 792
+MARGIN = 72
+LEADING = 14
+BODY_SIZE = 11
+HEAD_SIZE = 18
+
+
+def _esc(s: str) -> str:
+    """PDF string operand: latin-1-safe text as an escaped literal
+    string, anything else as a BOM-prefixed UTF-16BE hex string (the
+    spec's standard Unicode text-string form, ISO 32000 7.9.2)."""
+    try:
+        s.encode('latin-1')
+    except UnicodeEncodeError:
+        return '<FEFF%s>' % s.encode('utf-16-be').hex().upper()
+    return '(%s)' % (s.replace('\\', r'\\')
+                     .replace('(', r'\(').replace(')', r'\)'))
+
+
+def make_pdf(title, paragraphs, header=None, footer=None, wrap=90):
+    """Deterministic multi-page PDF: a sized title, wrapped body
+    paragraphs, and optional running header/footer + ``Page N`` furniture
+    on every page.  Returns bytes."""
+    # wrap paragraphs into lines
+    lines = []  # (text, size, para_break)
+    first = True
+    for para in paragraphs:
+        words = para.split()
+        cur = []
+        out_lines = []
+        for w in words:
+            if cur and len(' '.join(cur + [w])) > wrap:
+                out_lines.append(' '.join(cur))
+                cur = [w]
+            else:
+                cur.append(w)
+        if cur:
+            out_lines.append(' '.join(cur))
+        for k, ln in enumerate(out_lines):
+            lines.append((ln, BODY_SIZE, first or k == 0))
+        first = False
+
+    # paginate by y budget (paragraph breaks consume an extra leading;
+    # the first page loses two leadings to the title; nothing may enter
+    # the footer zone below y=90)
+    pages = []
+    cur_page = []
+    y = PAGE_H - MARGIN - 2 * LEADING  # title reserve on page 0
+    for ln in lines:
+        cost = LEADING * (2 if (ln[2] and cur_page) else 1)
+        if y - cost < 90:
+            pages.append(cur_page)
+            cur_page = []
+            y = PAGE_H - MARGIN
+            cost = LEADING  # no para-gap at top of page
+            ln = (ln[0], ln[1], False)
+        cur_page.append(ln)
+        y -= cost
+    pages.append(cur_page)
+
+    def page_stream(pg_idx, pg_lines):
+        ops = ['BT']
+        y = PAGE_H - MARGIN
+        if header:
+            ops.append('/F1 9 Tf 1 0 0 1 %d %d Tm %s Tj'
+                       % (MARGIN, PAGE_H - 40, _esc(header)))
+        if pg_idx == 0:
+            ops.append('/F1 %d Tf 1 0 0 1 %d %d Tm %s Tj'
+                       % (HEAD_SIZE, MARGIN, y, _esc(title)))
+            y -= 2 * LEADING
+        ops.append('/F1 %d Tf %d TL 1 0 0 1 %d %d Tm'
+                   % (BODY_SIZE, LEADING, MARGIN, y))
+        for k, (ln, size, brk) in enumerate(pg_lines):
+            if brk and k > 0:
+                ops.append('T*')  # paragraph gap: extra blank line
+            ops.append('%s Tj T*' % _esc(ln))
+        if footer:
+            ops.append('/F1 9 Tf 1 0 0 1 %d 36 Tm %s Tj'
+                       % (MARGIN, _esc(footer)))
+        ops.append('/F1 9 Tf 1 0 0 1 %d 36 Tm (Page %d) Tj'
+                   % (PAGE_W - MARGIN - 40, pg_idx + 1))
+        ops.append('ET')
+        return zlib.compress('\n'.join(ops).encode('latin-1'))
+
+    # objects: 1 catalog, 2 pages-root, 3 font, then per page (page, stream)
+    objs = {}
+    n_pages = len(pages)
+    page_ids = [4 + 2 * k for k in range(n_pages)]
+    kids = ' '.join('%d 0 R' % pid for pid in page_ids)
+    objs[1] = b'<< /Type /Catalog /Pages 2 0 R >>'
+    objs[2] = ('<< /Type /Pages /Kids [%s] /Count %d >>'
+               % (kids, n_pages)).encode()
+    objs[3] = (b'<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica'
+               b' /Encoding /WinAnsiEncoding >>')
+    for k, pg in enumerate(pages):
+        pid = page_ids[k]
+        data = page_stream(k, pg)
+        objs[pid] = ('<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d] '
+                     '/Resources << /Font << /F1 3 0 R >> >> '
+                     '/Contents %d 0 R >>'
+                     % (PAGE_W, PAGE_H, pid + 1)).encode()
+        objs[pid + 1] = (b'<< /Length %d /Filter /FlateDecode >>\nstream\n'
+                         % len(data) + data + b'\nendstream')
+
+    out = bytearray(b'%PDF-1.4\n%\xe2\xe3\xcf\xd3\n')
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += b'%d 0 obj\n' % num
+        out += objs[num]
+        out += b'\nendobj\n'
+    xref_at = len(out)
+    maxobj = max(objs)
+    out += b'xref\n0 %d\n' % (maxobj + 1)
+    out += b'0000000000 65535 f \n'
+    for num in range(1, maxobj + 1):
+        out += b'%010d 00000 n \n' % offsets.get(num, 0)
+    out += (b'trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n'
+            % (maxobj + 1, xref_at))
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+_OBJ_HEAD_RE = re.compile(rb'(\d+)\s+(\d+)\s+obj\b')
+_STREAM_OPEN_RE = re.compile(rb'stream\r?\n')
+_LENGTH_RE = re.compile(rb'/Length\s+(\d+)(?!\s+\d+\s+R)')
+_ENDSTREAM_RE = re.compile(rb'\r?\n?endstream')
+_CONTENTS_RE = re.compile(rb'/Contents\s+(\d+)\s+\d+\s+R')
+_PAGE_RE = re.compile(rb'/Type\s*/Page\b(?!s)')
+
+
+def _iter_objects(data: bytes):
+    """Yield (obj_num, dict_bytes, stream_bytes_or_None).
+
+    Streams are skipped by their ``/Length`` entry, NOT by searching for
+    ``endstream`` -- compressed bytes can contain any marker sequence
+    (``endobj``, ``N M obj``), which a pure-regex object scan trips
+    over (observed: one Flate stream in 500 contained ``endobj``).
+    ``endstream`` search remains the fallback for indirect /Length."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        m = _OBJ_HEAD_RE.search(data, pos)
+        if not m:
+            break
+        start = m.end()
+        eo = data.find(b'endobj', start)
+        sm = _STREAM_OPEN_RE.search(data, start,
+                                    eo if eo != -1 else n)
+        if sm is None:
+            body = data[start:eo if eo != -1 else n]
+            yield int(m.group(1)), body, None
+            pos = (eo + 6) if eo != -1 else n
+            continue
+        head = data[start:sm.start()]
+        lm = _LENGTH_RE.search(head)
+        if lm:
+            s0 = sm.end()
+            s1 = s0 + int(lm.group(1))
+            stream = data[s0:s1]
+            eo2 = data.find(b'endobj', s1)
+            pos = (eo2 + 6) if eo2 != -1 else n
+        else:
+            em = _ENDSTREAM_RE.search(data, sm.end())
+            if em is None:
+                break
+            stream = data[sm.end():em.start()]
+            eo2 = data.find(b'endobj', em.end())
+            pos = (eo2 + 6) if eo2 != -1 else n
+        yield int(m.group(1)), head, stream
+# content-stream tokens: strings, hex strings, arrays, numbers, operators
+_TOK_RE = re.compile(
+    rb'\((?:[^()\\]|\\.)*\)'      # literal string (1-level; \-escapes)
+    rb'|<[0-9A-Fa-f\s]*>'         # hex string
+    rb'|\[|\]'
+    rb'|/[^\s/\[\]()<>{}]+'
+    rb'|[-+]?\d*\.?\d+'
+    rb'|[A-Za-z\'"*]+')
+
+_OCTAL_RE = re.compile(rb'\\([0-7]{1,3})')
+_ESCAPES = {b'n': b'\n', b'r': b'\r', b't': b'\t', b'b': b'\b',
+            b'f': b'\f', b'(': b'(', b')': b')', b'\\': b'\\'}
+
+
+def _decode_literal(raw: bytes) -> str:
+    """Literal string body (between parens) -> text (latin-1 subset)."""
+    out = bytearray()
+    i = 0
+    n = len(raw)
+    while i < n:
+        c = raw[i:i + 1]
+        if c == b'\\' and i + 1 < n:
+            nxt = raw[i + 1:i + 2]
+            if nxt in _ESCAPES:
+                out += _ESCAPES[nxt]
+                i += 2
+                continue
+            m = _OCTAL_RE.match(raw, i)
+            if m:
+                out.append(int(m.group(1), 8) & 0xFF)
+                i = m.end()
+                continue
+            i += 1  # \<other>: drop the backslash
+            continue
+        out += c
+        i += 1
+    return out.decode('latin-1')
+
+
+def _decode_hex(raw: bytes) -> str:
+    h = re.sub(rb'\s+', b'', raw)
+    if len(h) % 2:
+        h += b'0'
+    b = bytes.fromhex(h.decode('ascii'))
+    if b[:2] == b'\xfe\xff':
+        return b[2:].decode('utf-16-be', 'replace')
+    return b.decode('latin-1')
+
+
+def _page_content_streams(data: bytes):
+    """Yield (page_index, inflated content bytes) in document order."""
+    dicts = {}
+    streams = {}
+    for num, head, stream in _iter_objects(data):
+        dicts[num] = head
+        if stream is not None:
+            streams[num] = stream
+    pages = []
+    for num in sorted(dicts):
+        if _PAGE_RE.search(dicts[num]):
+            cm = _CONTENTS_RE.search(dicts[num])
+            if cm:
+                pages.append(int(cm.group(1)))
+    for idx, cnum in enumerate(pages):
+        raw = streams.get(cnum)
+        if raw is None:
+            continue
+        if b'/FlateDecode' in dicts.get(cnum, b''):
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error:
+                continue
+        yield idx, raw
+
+
+def extract_text_runs(data: bytes):
+    """Parse a PDF into positioned text runs.
+
+    Returns a list of dicts ``{page, x, y, size, text}`` in emission
+    order.  Unsupported constructs are skipped, never fatal (the malformed
+    real world is the point of a recovering parser).
+    """
+    runs = []
+    for page, content in _page_content_streams(data):
+        x = y = 0.0
+        lx = ly = 0.0          # line start (Td/Tm reference)
+        size = 0.0
+        leading = 0.0
+        stack = []             # operand stack
+        in_text = False
+        for tok in _TOK_RE.finditer(content):
+            t = tok.group(0)
+            c = t[:1]
+            if c == b'(':
+                stack.append(('s', _decode_literal(t[1:-1])))
+            elif c == b'<':
+                stack.append(('s', _decode_hex(t[1:-1])))
+            elif c == b'/' or c == b'[' or c == b']':
+                stack.append(('n', t))
+            elif c.isdigit() or c in b'+-.':
+                try:
+                    stack.append(('f', float(t)))
+                except ValueError:
+                    pass
+            else:
+                op = t
+                if op == b'BT':
+                    in_text = True
+                    x = y = lx = ly = 0.0
+                elif op == b'ET':
+                    in_text = False
+                elif op == b'Tf':
+                    if stack and stack[-1][0] == 'f':
+                        size = stack[-1][1]
+                elif op == b'TL':
+                    if stack and stack[-1][0] == 'f':
+                        leading = stack[-1][1]
+                elif op in (b'Td', b'TD'):
+                    if len(stack) >= 2 and stack[-1][0] == 'f' \
+                            and stack[-2][0] == 'f':
+                        lx += stack[-2][1]
+                        ly += stack[-1][1]
+                        x, y = lx, ly
+                        if op == b'TD':
+                            leading = -stack[-1][1]
+                elif op == b'Tm':
+                    if len(stack) >= 6 and all(e[0] == 'f'
+                                               for e in stack[-6:]):
+                        lx, ly = stack[-2][1], stack[-1][1]
+                        x, y = lx, ly
+                elif op == b'T*':
+                    ly -= leading
+                    x, y = lx, ly
+                elif op in (b"'", b'"') or op == b'Tj':
+                    if op != b'Tj':
+                        ly -= leading
+                        x, y = lx, ly
+                    if in_text and stack and stack[-1][0] == 's' \
+                            and stack[-1][1]:
+                        runs.append({'page': page, 'x': x, 'y': y,
+                                     'size': size, 'text': stack[-1][1]})
+                        x += 0.5 * size * len(stack[-1][1])  # advance est.
+                elif op == b'TJ':
+                    if in_text:
+                        parts = [v for k, v in stack if k == 's']
+                        text = ''.join(parts)
+                        if text:
+                            runs.append({'page': page, 'x': x, 'y': y,
+                                         'size': size, 'text': text})
+                            x += 0.5 * size * len(text)
+                stack = []
+    return runs
+
+
+# ---------------------------------------------------------------------------
+# layout analysis
+# ---------------------------------------------------------------------------
+
+
+def layout_blocks(runs, line_tol_frac=0.5, block_gap_frac=1.8):
+    """Runs -> ordered layout blocks.
+
+    Lines: runs whose baselines agree within ``line_tol_frac * size``.
+    Blocks: consecutive lines split when the vertical gap exceeds
+    ``block_gap_frac`` x the page's dominant leading, or the font size
+    changes.  Returns dicts ``{page, block_idx, kind, size, y_top, text}``
+    with ``kind`` heading/body by relative size, in reading order.
+    """
+    blocks = []
+    by_page = {}
+    for r in runs:
+        by_page.setdefault(r['page'], []).append(r)
+    # body size = char-weighted mode of run sizes, excluding the
+    # largest size when smaller ones exist (so a title-only page still
+    # classes its title as heading rather than defining 'body')
+    mass = {}
+    for r in runs:
+        mass[r['size']] = mass.get(r['size'], 0) + len(r['text'])
+    if len(mass) > 1:
+        mx = max(mass)
+        body_size = max((s for s in mass if s < mx),
+                        key=lambda s: mass[s])
+    elif mass:
+        body_size = next(iter(mass))
+    else:
+        body_size = 0
+
+    bidx = 0
+    for page in sorted(by_page):
+        rs = sorted(by_page[page], key=lambda r: (-r['y'], r['x']))
+        # group into lines
+        lines = []
+        for r in rs:
+            if lines and abs(lines[-1]['y'] - r['y']) \
+                    <= line_tol_frac * max(r['size'], 1.0):
+                lines[-1]['parts'].append(r['text'])
+                lines[-1]['size'] = max(lines[-1]['size'], r['size'])
+            else:
+                lines.append({'y': r['y'], 'size': r['size'],
+                              'parts': [r['text']]})
+        # dominant leading (mode of successive gaps, rounded)
+        gaps = [round(lines[i]['y'] - lines[i + 1]['y'], 1)
+                for i in range(len(lines) - 1)
+                if lines[i]['y'] > lines[i + 1]['y']]
+        if gaps:
+            lead = max(set(gaps), key=gaps.count)
+        else:
+            lead = LEADING
+        # group lines into blocks
+        cur = None
+        for ln in lines:
+            new = (cur is None
+                   or ln['size'] != cur['size']
+                   or (cur['y_last'] - ln['y']) > block_gap_frac * lead)
+            if new:
+                if cur:
+                    blocks.append(cur)
+                cur = {'page': page, 'size': ln['size'], 'y_top': ln['y'],
+                       'y_last': ln['y'], 'texts': [' '.join(ln['parts'])]}
+            else:
+                cur['texts'].append(' '.join(ln['parts']))
+                cur['y_last'] = ln['y']
+        if cur:
+            blocks.append(cur)
+
+    out = []
+    for b in blocks:
+        kind = 'heading' if b['size'] >= 1.3 * max(body_size, 1.0) else 'body'
+        out.append({'page': b['page'], 'block_idx': bidx, 'kind': kind,
+                    'size': b['size'], 'y_top': b['y_top'],
+                    'text': ' '.join(b['texts'])})
+        bidx += 1
+    return out
+
+
+_PAGENO_RE = re.compile(r'\b\d+\b')
+
+
+def strip_repeated_furniture(blocks, min_frac=0.5, zone_frac=0.2):
+    """Remove running headers/footers/page numbers: blocks in the outer
+    ``zone_frac`` margins of the page whose digit-normalized text +
+    rounded position recur on >= ``min_frac`` of pages.  The zone
+    restriction keeps repeated *content* (a chorus, boilerplate the
+    caller wants to keep as body) from being eaten; true page furniture
+    lives in the margins.  Single-page documents are returned unchanged
+    (no recurrence signal -- see :func:`strip_margin_furniture`)."""
+    n_pages = len({b['page'] for b in blocks})
+    if n_pages <= 1:
+        return list(blocks)
+    lo = zone_frac * PAGE_H
+    hi = (1.0 - zone_frac) * PAGE_H
+
+    def key(b):
+        return (_PAGENO_RE.sub('#', b['text']).strip(),
+                round(b['y_top'] / 4.0))
+
+    seen = {}
+    for b in blocks:
+        if not lo <= b['y_top'] <= hi:
+            seen.setdefault(key(b), set()).add(b['page'])
+    keep = []
+    for b in blocks:
+        if not lo <= b['y_top'] <= hi \
+                and len(seen.get(key(b), ())) / n_pages >= min_frac:
+            continue
+        keep.append(b)
+    return keep
+
+
+def strip_margin_furniture(blocks, bottom=60, top=PAGE_H - 60):
+    """Zone-based de-chroming complement: blocks living entirely in the
+    top/bottom page margins (running headers, footers, page numbers) are
+    furniture regardless of repetition -- the heuristic that still works
+    on single-page documents, where :func:`strip_repeated_furniture`
+    has no recurrence signal."""
+    return [b for b in blocks if bottom <= b['y_top'] <= top]
