@@ -693,6 +693,57 @@ def q_dedup_after_extraction(spark, sf_dir):
         'extracted_pairs_found long, extracted_false_pairs long')
 
 
+def q_cross_format_neardup(spark, sf_dir):
+    """Interleaved-corpus showcase (graft cell payload: interleaved):
+    the SAME source article arrives once as an HTML span document and
+    once as a PDF payload.  Each format goes through its own extraction
+    path (fused HTML extract; PDF layout parse + de-chrome), then ONE
+    format-agnostic token-set Jaccard pass over the unioned
+    (doc_id, content) rows mines the cross-format duplicates -- the
+    at-scale recipe for a training pipeline that must not keep both the
+    web page and the PDF of the same article.
+
+    HTML extraction keeps only the content region (comment sentences
+    are chrome-free but separate), so the two renditions overlap
+    partially -- realistic near-dup, not exact-dup.  Shingle-set MinHash
+    (order-sensitive) is the discriminator: the synthetic corpus draws
+    from a tiny token vocabulary, so token-SET similarity is ~1 between
+    ANY two docs while 3-token shingle overlap stays specific to the
+    shared passage.  Output: planted cross-format pair recall +
+    false-pair count (rows-only; extraction is not SQL-expressible).
+    """
+    from dragnet_spark.operators.dedup import minhash_near_duplicates
+    from dragnet_spark.operators.extract import extract
+    from dragnet_spark.operators.pdf_extract import (pdf_corpus,
+                                                     pdf_extract_content)
+    from dragnet_spark.sources.synthesis import synthesize_corpus
+
+    spans_df, _ = synthesize_corpus(spark, sf_dir, include_edge_docs=False)
+    html = (extract(spans_df)
+            .select(F.concat(F.lit('h!'),
+                             F.regexp_extract('doc_id', r'doc-0*(\d+)-',
+                                              1)).alias('doc_id'),
+                    F.col('content_text').alias('text'))
+            .where(F.length('text') > 0))
+    pdf = (pdf_extract_content(pdf_corpus(spark, sf_dir))
+           .select(F.concat(F.lit('p!'), 'doc_id').alias('doc_id'),
+                   F.col('content_text').alias('text'))
+           .where(F.length('text') > 0))
+    pairs = (minhash_near_duplicates(html.union(pdf), threshold=0.3,
+                                     bands=16)
+             .where(F.substring('doc_a', 1, 2)
+                    != F.substring('doc_b', 1, 2)))
+    planted = (F.substring('doc_a', 3, 10 ** 6)
+               == F.substring('doc_b', 3, 10 ** 6))
+    n_docs = pdf.count()
+    return spark.createDataFrame(
+        [(n_docs,
+          pairs.where(planted).count(),
+          pairs.where(~planted).count())],
+        'n_source_docs long, cross_format_pairs_found long, '
+        'cross_format_false_pairs long')
+
+
 def q_checkpoint_resume(spark, sf_dir):
     """S7 resume semantics, hash-checked end-to-end: a first run
     processes a doc_id-range prefix, a resumed run anti-joins the
@@ -769,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'media_stats': q_media_stats,
         'pdf_layout_blocks': q_pdf_layout_blocks,
         'pdf_extract_content': q_pdf_extract_content,
+        'cross_format_neardup': q_cross_format_neardup,
         'kohlschuetter_window': q_kohlschuetter_window,
         'weninger_smooth': q_weninger_smooth,
         'standardize_zscore': q_standardize_zscore,

@@ -157,18 +157,23 @@ def minhash_candidates(df, text_col='text', k=MINHASH_K, bands=LSH_BANDS,
                                   bucket_cap, assume_distinct=True)
 
 
-def minhash_near_duplicates(df, text_col='text', threshold=0.8):
+def minhash_near_duplicates(df, text_col='text', threshold=0.8,
+                            k=MINHASH_K, bands=LSH_BANDS):
     """LSH candidates verified with exact *shingle*-set Jaccard (the same
     similarity the minhash signatures estimate -- order-sensitive, the
     standard near-dup definition).
 
     The verify join touches only candidate pairs -- at 100 TB this is the
-    difference between feasible and quadratic.  With 8 bands x 4 rows,
-    P(candidate | jaccard=0.8) = 1-(1-0.8^4)^8 ~= 0.985.
+    difference between feasible and quadratic.  With the default 8 bands
+    x 4 rows, P(candidate | jaccard=0.8) = 1-(1-0.8^4)^8 ~= 0.985.
+    Mining at LOWER similarity needs shorter bands: ``bands=16`` (2 rows)
+    gives P(candidate | 0.4) ~= 0.94 where 8x4 drops to 0.19 -- the
+    bands/rows split is the knob that moves the LSH S-curve to the
+    target threshold (classic MMDS ch.3 tuning).
     """
     toks = shingle_df(df, text_col).select(
         'doc_id', F.col('shingles').alias('t'))
-    cand = minhash_candidates(df, text_col)
+    cand = minhash_candidates(df, text_col, k=k, bands=bands)
     joined = (cand
               .join(toks.select(F.col('doc_id').alias('doc_a'),
                                 F.col('t').alias('ta')), 'doc_a')

@@ -148,6 +148,40 @@ class TestPdfOperators:
             assert out[did].content_text == norm, did
             assert out[did].title == 'Document %s' % did
 
+    def test_cross_format_neardup_recall(self, spark):
+        # interleaved-corpus story: the same article as HTML spans and
+        # as a PDF payload must pair up under shingle MinHash after
+        # each format's own extraction path
+        import importlib
+        entrymod = importlib.import_module('__spark_entry__')
+        r = entrymod.queries()['cross_format_neardup'](
+            spark, '/root/testdata/sf0.001').first()
+        assert r.n_source_docs == 500
+        assert r.cross_format_pairs_found >= 0.95 * r.n_source_docs
+
+    def test_minhash_band_tuning_moves_s_curve(self, spark):
+        # bands=16 (2 rows) must find low-similarity pairs that the
+        # default 8x4 banding misses with high probability
+        from dragnet_spark.operators.dedup import minhash_near_duplicates
+        rows = []
+        for i in range(30):
+            # disjoint per-pair vocabulary; partner keeps a 24/40-word
+            # prefix -> shingle jaccard ~= 0.4
+            words = ['w%d_%d' % (i, j) for j in range(40)]
+            rows.append((2 * i, ' '.join(words)))
+            rows.append((2 * i + 1, ' '.join(
+                words[:24] + ['x%d_%d' % (i, j) for j in range(16)])))
+        df = spark.createDataFrame(rows, 'doc_id long, text string')
+
+        def planted_hits(bands):
+            out = minhash_near_duplicates(df, threshold=0.2, bands=bands)
+            found = {(r.doc_a, r.doc_b) for r in out.collect()}
+            return sum((2 * i, 2 * i + 1) in found for i in range(30))
+        # 16 bands x 2 rows: P(cand | j=0.4) ~= 0.95 -> expect most
+        assert planted_hits(16) >= 24
+        # default 8 bands x 4 rows: P ~= 0.2 -> expect few
+        assert planted_hits(8) <= 15
+
     def test_pdf_layout_blocks_shape(self, spark):
         import pyspark.sql.functions as F
         from dragnet_spark.operators.pdf_extract import (pdf_corpus,
