@@ -612,6 +612,36 @@ def q_streaming_dedup_batch(spark, sf_dir):
         F.sum(F.col('is_first_seen').cast('long')).alias('n_first_seen'))
 
 
+def q_streaming_window_counts(spark, sf_dir):
+    """Watermarked event-time window aggregation as a batch-equivalent
+    view: availableNow + complete mode over the events table; counts and
+    exact-decimal value sums per (hour window, event_type) must equal
+    the DuckDB time_bucket oracle."""
+    import tempfile
+    import uuid
+    from dragnet_spark.streaming.window_stream import run_windowed_counts
+    base = tempfile.mkdtemp(prefix='win_stream_q_')
+    # watermarks require TIMESTAMP (instant), the table carries NTZ:
+    # pin the session to UTC so ntz -> instant -> formatted wall clock
+    # round-trips identically to DuckDB's naive time_bucket
+    prev_tz = spark.conf.get('spark.sql.session.timeZone')
+    spark.conf.set('spark.sql.session.timeZone', 'UTC')
+    try:
+        (spark.read.parquet(f'{sf_dir}/events.parquet')
+         .withColumn('ts', F.col('ts').cast('timestamp'))
+         .coalesce(4).write.mode('overwrite').parquet(f'{base}/src'))
+        res = run_windowed_counts(
+            spark, f'{base}/src',
+            query_name='winq_%s' % uuid.uuid4().hex[:8])
+        return res.select(
+            F.date_format(F.col('w.start'), 'yyyy-MM-dd HH:mm:ss')
+            .alias('window_start'),
+            'event_type', 'n_events',
+            F.round('total_value', 2).alias('total_value'))
+    finally:
+        spark.conf.set('spark.sql.session.timeZone', prev_tz)
+
+
 def q_host_skew_salting(spark, sf_dir):
     """North-rule skew machinery, observable: ~30% of the corpus shares
     one host prefix; a plain repartition-by-host puts that share in one
@@ -826,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'standardize_zscore': q_standardize_zscore,
         'css_token_flags': q_css_token_flags,
         'streaming_dedup_batch': q_streaming_dedup_batch,
+        'streaming_window_counts': q_streaming_window_counts,
         'checkpoint_resume': q_checkpoint_resume,
         'dedup_after_extraction': q_dedup_after_extraction,
         'streaming_extract_batch': q_streaming_extract_batch,
@@ -1131,6 +1162,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    count(DISTINCT md5(text)) AS n_first_seen
             FROM documents GROUP BY 1
+        """,
+        'streaming_window_counts': """
+            SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts),
+                            '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(CAST(value AS DECIMAL(18,2)))::double, 2)
+                     AS total_value
+            FROM events GROUP BY 1, 2
         """,
         'checkpoint_resume': """
             SELECT count(*) AS n_committed,
