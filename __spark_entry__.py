@@ -612,6 +612,23 @@ def q_streaming_dedup_batch(spark, sf_dir):
         F.sum(F.col('is_first_seen').cast('long')).alias('n_first_seen'))
 
 
+def q_feature_importances(spark, sf_dir):
+    """E5 companion (reference paper Table 2 style): standardized-
+    coefficient importances of the shipped LR over the 9-column union,
+    stds measured on the labeled gold blocks (JVM-side aggregation).
+    Rows-only: training/labeling is not SQL-expressible."""
+    from dragnet_spark.extractor import Extractor
+    from dragnet_spark.operators.labeling import gold_blocks
+    from dragnet_spark.sources.synthesis import synthesize_corpus
+    spans_df, gold_df = synthesize_corpus(spark, sf_dir,
+                                          include_edge_docs=False)
+    ex = Extractor()
+    imps = ex.feature_importances(gold_blocks(spans_df, gold_df))
+    return spark.createDataFrame(
+        [(i, n, round(v, 6)) for i, (n, v) in enumerate(imps)],
+        'feature_idx long, feature_name string, importance double')
+
+
 def q_streaming_window_counts(spark, sf_dir):
     """Watermarked event-time window aggregation as a batch-equivalent
     view: availableNow + complete mode over the events table; counts and
@@ -857,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'css_token_flags': q_css_token_flags,
         'streaming_dedup_batch': q_streaming_dedup_batch,
         'streaming_window_counts': q_streaming_window_counts,
+        'feature_importances': q_feature_importances,
         'checkpoint_resume': q_checkpoint_resume,
         'dedup_after_extraction': q_dedup_after_extraction,
         'streaming_extract_batch': q_streaming_extract_batch,

@@ -87,6 +87,42 @@ class Extractor:
             self.spark_model = gbt.fit(df)
         return self
 
+    # -- introspection ----------------------------------------------------
+    def feature_importances(self, gold_blocks_df=None):
+        """Per-feature importances as ``[(name, importance)]`` summing
+        to 1 (reference paper Table 2 style).
+
+        * ``'gbt'``: Spark ML's impurity-based ``featureImportances``.
+        * ``'lr'``: standardized-coefficient magnitudes
+          ``|coef_i| * std_i`` -- requires ``gold_blocks_df`` to measure
+          the per-feature stds (JVM-side aggregation); without it, raw
+          ``|coef_i|`` with a comparability caveat (features are on
+          different scales).
+        """
+        import numpy as np
+
+        from .kernels.features import feature_names
+        names = feature_names(self.features)
+        if self.classifier == 'gbt':
+            self._require_fitted()
+            imp = np.asarray(self.spark_model.featureImportances.toArray())
+        else:
+            self._require_fitted()
+            imp = np.abs(self.model.coef)
+            if gold_blocks_df is not None:
+                stds = (gold_blocks_df
+                        .where(F.col('features').isNotNull())
+                        .select(*[F.stddev(F.col('features')[i])
+                                  .alias('s%d' % i)
+                                  for i in range(len(names))])
+                        .first())
+                imp = imp * np.array([stds['s%d' % i] or 0.0
+                                      for i in range(len(names))])
+        total = imp.sum()
+        if total > 0:
+            imp = imp / total
+        return list(zip(names, [float(v) for v in imp]))
+
     # -- inference --------------------------------------------------------
     def _require_fitted(self):
         if self.classifier == 'lr' and self.model is None:

@@ -54,3 +54,26 @@ def compute(blocks, features=DEFAULT_FEATURES):
 
 def n_features(features=DEFAULT_FEATURES):
     return sum(FEATURE_WIDTHS[name] for name in features)
+
+
+#: per-column names of each feature family, in vector order
+FEATURE_COLUMN_NAMES = {
+    'kohlschuetter': ('prev_link_density', 'prev_text_density',
+                      'link_density', 'text_density',
+                      'next_link_density', 'next_text_density'),
+    'weninger': ('ctr_smoothed', 'ctr_delta_smoothed'),
+    'readability': ('readability_score',),
+    'css': tuple('css_%d' % i for i in range(36)),
+    'clustered_weninger': ('weninger_cluster_flag',),
+}
+
+
+def feature_names(features=DEFAULT_FEATURES):
+    """Flat column names matching the concatenated feature vector."""
+    out = []
+    for fam in features:
+        cols = FEATURE_COLUMN_NAMES.get(
+            fam, tuple('%s_%d' % (fam, i)
+                       for i in range(FEATURE_WIDTHS[fam])))
+        out.extend('%s.%s' % (fam, c) for c in cols)
+    return out

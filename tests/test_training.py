@@ -231,3 +231,28 @@ class TestExtractorFacade:
         spans_df, _ = corpus
         with pytest.raises(ValueError):
             Extractor(classifier='gbt').extract(spans_df)
+
+    def test_feature_importances_both_backends(self, spark, corpus):
+        from dragnet_spark.extractor import Extractor
+        from dragnet_spark.operators.labeling import gold_blocks
+        spans_df, gold_df = corpus
+        labeled = gold_blocks(spans_df.limit(60), gold_df)
+
+        # lr (shipped model) with std scaling
+        imps = Extractor().feature_importances(labeled)
+        names = [n for n, _ in imps]
+        vals = [v for _, v in imps]
+        assert len(imps) == 9
+        assert names[3] == 'kohlschuetter.text_density'
+        assert names[8] == 'readability.readability_score'
+        assert abs(sum(vals) - 1.0) < 1e-9
+        assert all(v >= 0 for v in vals)
+        # densities must matter on this corpus
+        assert sum(vals[:6]) > 0.2
+
+        # gbt: impurity importances from the fitted ensemble
+        ex = Extractor(classifier='gbt', gbt_max_iter=5,
+                       gbt_max_depth=3).fit_blocks(labeled)
+        gimps = ex.feature_importances()
+        assert len(gimps) == 9
+        assert abs(sum(v for _, v in gimps) - 1.0) < 1e-9
