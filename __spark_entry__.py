@@ -612,6 +612,21 @@ def q_streaming_dedup_batch(spark, sf_dir):
         F.sum(F.col('is_first_seen').cast('long')).alias('n_first_seen'))
 
 
+def q_template_mining(spark, sf_dir):
+    """Template-family mining over the phase-3 hard corpus: four chrome
+    templates (two non-English) assigned per HOST, so families cross
+    hosts; boilerplate = raw tokens minus extracted content+comments,
+    shingle-MinHash + connected components labels the families.
+    Rows-only (extraction in the loop); family structure is pinned by
+    tests/test_templates.py."""
+    from dragnet_spark.operators.templates import template_families
+    from dragnet_spark.sources.synthesis import synthesize_hard_corpus
+    spans_df, _ = synthesize_hard_corpus(spark, sf_dir)
+    return (template_families(spans_df)
+            .select('family_id', 'n_docs', 'n_hosts')
+            .orderBy(F.desc('n_docs')))
+
+
 def q_feature_importances(spark, sf_dir):
     """E5 companion (reference paper Table 2 style): standardized-
     coefficient importances of the shipped LR over the 9-column union,
@@ -875,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'streaming_dedup_batch': q_streaming_dedup_batch,
         'streaming_window_counts': q_streaming_window_counts,
         'feature_importances': q_feature_importances,
+        'template_mining': q_template_mining,
         'checkpoint_resume': q_checkpoint_resume,
         'dedup_after_extraction': q_dedup_after_extraction,
         'streaming_extract_batch': q_streaming_extract_batch,

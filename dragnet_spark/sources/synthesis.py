@@ -80,6 +80,43 @@ ALT_FOOTER_HTML = ('<div class="sitefooter"><a href="/imprint">Imprint</a> '
                    '<a href="/accessibility">Accessibility statement</a>'
                    '</div>')
 
+# phase-3 chrome (synthesize_hard_corpus): two more template families
+# with non-English boilerplate -- extraction must not depend on English
+# chrome tokens (densities/tag features are language-agnostic), and
+# template mining gets four cross-host families to find
+DE_NAV_HTML = ('<div class="navigation"><a href="/">Startseite</a> '
+               '<a href="/nachrichten">Nachrichten</a> '
+               '<a href="/wirtschaft">Wirtschaft</a> '
+               '<a href="/impressum">Impressum</a></div>')
+DE_SIDEBAR_HTML = ('<div class="seitenleiste widget">'
+                   '<a href="/meistgelesen">Meistgelesene Artikel</a> '
+                   '<a href="/newsletter">Newsletter abonnieren</a> '
+                   '<a href="/abo">Digitalabo ab 9 Euro</a></div>')
+DE_FOOTER_HTML = ('<div class="fusszeile"><a href="/agb">AGB</a> '
+                  '<a href="/datenschutz">Datenschutzerklärung</a> '
+                  '<a href="/kontakt">Kontakt aufnehmen</a></div>')
+ZH_NAV_HTML = ('<div class="daohang"><a href="/">首页</a> '
+               '<a href="/xinwen">新闻中心</a> '
+               '<a href="/caijing">财经频道</a> '
+               '<a href="/lianxi">联系我们</a></div>')
+ZH_SIDEBAR_HTML = ('<div class="cebian widget">'
+                   '<a href="/remen">热门文章排行'
+                   '</a> <a href="/dingyue">订阅电子报'
+                   '</a> <a href="/xiazai">下载客户端'
+                   '</a></div>')
+ZH_FOOTER_HTML = ('<div class="yejiao"><a href="/banquan">版权'
+                  '声明</a> <a href="/yinsi">隐私'
+                  '政策</a> <a href="/zhaopin">招聘'
+                  '信息</a></div>')
+
+CHROME_SETS = {
+    'default': (NAV_HTML, SIDEBAR_HTML, FOOTER_HTML),
+    'alt': (ALT_NAV_HTML, ALT_SIDEBAR_HTML, ALT_FOOTER_HTML),
+    'de': (DE_NAV_HTML, DE_SIDEBAR_HTML, DE_FOOTER_HTML),
+    'zh': (ZH_NAV_HTML, ZH_SIDEBAR_HTML, ZH_FOOTER_HTML),
+}
+TEMPLATE_FAMILIES = ('default', 'alt', 'de', 'zh')
+
 _WS = re.compile(r'\s+')
 
 
@@ -117,9 +154,7 @@ def make_document(doc_id: str, text: str, chrome: str = 'default',
     n_paras = 2 + _h(lk + ':np', 3)           # 2..4
     n_comments = 1 + _h(lk + ':nc', 2)        # 1..2
     title = _norm(_norm(sents[0])[:80]) or 'Untitled'
-    nav, sidebar, footer = NAV_HTML, SIDEBAR_HTML, FOOTER_HTML
-    if chrome == 'alt':
-        nav, sidebar, footer = ALT_NAV_HTML, ALT_SIDEBAR_HTML, ALT_FOOTER_HTML
+    nav, sidebar, footer = CHROME_SETS.get(chrome, CHROME_SETS['default'])
 
     paras = [[] for _ in range(n_paras)]
     quote = []
@@ -253,10 +288,16 @@ EDGE_DOCS = [
 ]
 
 
-def synthesize_batches(doc_batch, amplification=1):
+def synthesize_batches(doc_batch, amplification=1, chrome_by_host=False):
     """documents.parquet RecordBatch -> (spans RecordBatch, gold RecordBatch).
 
     Pure function of the input rows (executor-safe, order-independent).
+    ``chrome_by_host=True`` is the phase-3 "hard" corpus: each HOST is
+    deterministically assigned one of the four chrome template families
+    (default/alt/de/zh), so templates cross hosts and ~half the chrome
+    is non-English -- the gold tables are unchanged (chrome is
+    boilerplate), but extraction can no longer key on any one template
+    and template mining has real cross-host families to find.
     """
     doc_ids = doc_batch.column('doc_id').to_pylist()
     texts = doc_batch.column('text').to_pylist()
@@ -266,7 +307,11 @@ def synthesize_batches(doc_batch, amplification=1):
             h = _h('%s:%d' % (did, rep), 10)
             host = 'h000' if h < 3 else 'h%03d' % (1 + _h('%s:%d:host' % (did, rep), 97))
             sid = '%s/doc-%08d-%d' % (host, did, rep)
-            spans, gold_c, gold_m = make_document(sid, text or '')
+            chrome = (TEMPLATE_FAMILIES[_h(host + ':tpl',
+                                           len(TEMPLATE_FAMILIES))]
+                      if chrome_by_host else 'default')
+            spans, gold_c, gold_m = make_document(sid, text or '',
+                                                  chrome=chrome)
             span_rows.append({'doc_id': sid, 'spans': [
                 {'kind': k, 'text': t, 'media_ref': m, 'offset': o}
                 for k, t, m, o in spans]})
@@ -289,7 +334,7 @@ def edge_doc_rows():
 
 
 def synthesize_corpus(spark, sf_dir, amplification=1, include_edge_docs=True,
-                      num_partitions=None):
+                      num_partitions=None, chrome_by_host=False):
     """Distributed corpus synthesis: returns (spans_df, gold_df).
 
     The source parquet is one small file = one input split, but the
@@ -326,12 +371,12 @@ def synthesize_corpus(spark, sf_dir, amplification=1, include_edge_docs=True,
 
     def gen_spans(batches):
         for rb in batches:
-            out, _ = synthesize_batches(rb, amplification)
+            out, _ = synthesize_batches(rb, amplification, chrome_by_host)
             yield out
 
     def gen_gold(batches):
         for rb in batches:
-            _, out = synthesize_batches(rb, amplification)
+            _, out = synthesize_batches(rb, amplification, chrome_by_host)
             yield out
 
     spans_df = docs.mapInArrow(gen_spans, schema=spans_type)
@@ -342,6 +387,17 @@ def synthesize_corpus(spark, sf_dir, amplification=1, include_edge_docs=True,
         spans_df = spans_df.unionByName(spark.createDataFrame(span_rows, spans_type))
         gold_df = gold_df.unionByName(spark.createDataFrame(gold_rows, gold_type))
     return spans_df, gold_df
+
+
+def synthesize_hard_corpus(spark, sf_dir, amplification=1,
+                           num_partitions=None):
+    """Phase-3 corpus: four cross-host chrome template families incl.
+    German/Chinese boilerplate; same gold tables as the default corpus
+    (chrome is boilerplate, content is unchanged)."""
+    return synthesize_corpus(spark, sf_dir, amplification,
+                             include_edge_docs=False,
+                             num_partitions=num_partitions,
+                             chrome_by_host=True)
 
 
 def synthesize_with_mirrors(spark, sf_dir, mod=8, num_partitions=None):
