@@ -179,7 +179,8 @@ def ivf_recall(spark, sf_dir, k=10, n_queries=50):
 
     from dragnet_spark.operators.similarity import (
         IVF_CELLS, IVF_PROBES, _spherical_kmeans, cosine_topk,
-        ivf_assignments, ivf_topk, with_planted_clusters)
+        ivf_assignments, ivf_quantized_topk, ivf_topk,
+        with_planted_clusters)
 
     emb = spark.read.parquet(f'{sf_dir}/embeddings.parquet')
     clustered = with_planted_clusters(emb).cache()
@@ -190,6 +191,11 @@ def ivf_recall(spark, sf_dir, k=10, n_queries=50):
     approx = {(r.query_id, r.neighbor_id)
               for r in ivf_topk(clustered, queries, k=k).collect()}
     recall = round(len(exact & approx) / max(len(exact), 1), 4)
+
+    composed = {(r.query_id, r.neighbor_id)
+                for r in ivf_quantized_topk(clustered, queries,
+                                            k=k).collect()}
+    c_recall = round(len(exact & composed) / max(len(exact), 1), 4)
 
     sample = clustered.select(F.col('embedding').alias('_v')) \
         .limit(20000).toPandas()
@@ -204,7 +210,9 @@ def ivf_recall(spark, sf_dir, k=10, n_queries=50):
     cand = float(np.mean([sum(sizes.get(int(c), 0) for c in row)
                           for row in order]))
     clustered.unpersist()
-    return recall, round(n / max(cand, 1.0), 1)
+    # composed exact-work pruning: rerank_frac of the probed-cell members
+    composed_pruning = round(n / max(0.1 * cand, 1.0), 1)
+    return recall, round(n / max(cand, 1.0), 1), c_recall, composed_pruning
 
 
 def neardup_recall(spark, sf_dir):
@@ -329,7 +337,8 @@ def main():
     recall, ann_pruning = ann_recall(spark, sf_dir)
     nd_recall, nd_pruning, mp_recall, mp_pruning = neardup_recall(spark,
                                                                   sf_dir)
-    iv_recall, iv_pruning = ivf_recall(spark, sf_dir)
+    iv_recall, iv_pruning, ivq_recall, ivq_pruning = ivf_recall(spark,
+                                                                sf_dir)
     spark.stop()
 
     result = {
@@ -353,6 +362,8 @@ def main():
         'neardup_multiprobe24_pruning_x': mp_pruning,
         'ivf_recall_at_10': iv_recall,
         'ivf_pruning_x': iv_pruning,
+        'ivf_sq8_recall_at_10': ivq_recall,
+        'ivf_sq8_exact_work_pruning_x': ivq_pruning,
     }
     if do_scaling:
         result['scaling'] = scaling_run(sf_dir, amplification)

@@ -358,6 +358,24 @@ class TestIVF:
                                     n_probe=3).collect()}
         assert len(exact & approx) / len(exact) >= 0.9
 
+    def test_ivf_sq8_composed_on_planted_clusters(self, spark):
+        # the composed design: IVF cells (sub-linear) + SQ8 int8 inner
+        # scan + exact re-rank of the top 10% in-cell candidates must
+        # hold recall vs brute force
+        import pyspark.sql.functions as F2
+        from dragnet_spark.operators.similarity import (
+            cosine_topk, ivf_quantized_topk, with_planted_clusters)
+        emb = spark.read.parquet('/root/testdata/sf0.001/embeddings.parquet')
+        clustered = with_planted_clusters(emb, n_clusters=5).cache()
+        q = clustered.where(F2.col('vec_id') < 10)
+        exact = {(r.query_id, r.neighbor_id)
+                 for r in cosine_topk(clustered, q, k=5).collect()}
+        approx = {(r.query_id, r.neighbor_id)
+                  for r in ivf_quantized_topk(clustered, q, k=5,
+                                              n_cells=16,
+                                              n_probe=3).collect()}
+        assert len(exact & approx) / len(exact) >= 0.9
+
     def test_planted_clusters_deterministic(self, spark):
         from dragnet_spark.operators.similarity import with_planted_clusters
         emb = spark.read.parquet('/root/testdata/sf0.001/embeddings.parquet')
