@@ -121,21 +121,35 @@ def pdf_extract_content(df, payload_col='payload'):
     """(doc_id, payload) -> (doc_id, title, n_pages, content_text).
 
     Reading-order body text after furniture stripping; the first heading
-    is the title.  One aggregation over the exploded blocks -- block
-    parsing stays the narrow Python stage, assembly is JVM-side.
+    is the title.  FUSED: a document's blocks all come out of one kernel
+    call, so assembly happens in the same Arrow stage -- the whole
+    pipeline is one narrow Python stage, ZERO shuffles (the same plan
+    shape as the HTML synthesize_and_extract fast path; asserted in
+    tests/test_pdf.py).
     """
-    blocks = pdf_layout_blocks(df, dechrome=True, payload_col=payload_col)
-    return (blocks.groupBy('doc_id').agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.filter(
-                    F.collect_list(F.struct('block_idx', 'kind', 'text')),
-                    lambda b: b['kind'] == 'body')),
-                lambda b: b['text']), ' ').alias('content_text'),
-        F.min(F.when(F.col('kind') == 'heading',
-                     F.struct('block_idx', 'text')))['text']
-        .alias('title'),
-        (F.max('page') + 1).alias('n_pages'))
-        .select('doc_id', 'title',
-                F.col('n_pages').cast('int').alias('n_pages'),
-                'content_text'))
+    src = df.select('doc_id', F.col(payload_col).alias('_p'))
+    out_schema = pa.schema([
+        ('doc_id', pa.string()),
+        ('title', pa.string()),
+        ('n_pages', pa.int32()),
+        ('content_text', pa.string()),
+    ])
+
+    def gen(batches):
+        for rb in batches:
+            ids = rb.column('doc_id').to_pylist()
+            payloads = rb.column('_p').to_pylist()
+            rows = []
+            for d, p in zip(ids, payloads):
+                blocks = _doc_blocks(d, p, dechrome=True)
+                title = next((b['text'] for b in blocks
+                              if b['kind'] == 'heading'), None)
+                body = ' '.join(b['text'] for b in blocks
+                                if b['kind'] == 'body')
+                n_pages = max((b['page'] for b in blocks), default=-1) + 1
+                rows.append({'doc_id': d, 'title': title,
+                             'n_pages': n_pages, 'content_text': body})
+            yield pa.RecordBatch.from_pylist(rows, schema=out_schema)
+
+    return src.mapInArrow(
+        gen, 'doc_id string, title string, n_pages int, content_text string')

@@ -148,6 +148,16 @@ class TestPdfOperators:
             assert out[did].content_text == norm, did
             assert out[did].title == 'Document %s' % did
 
+    def test_pdf_extract_plan_is_shuffle_free(self, spark):
+        from dragnet_spark.operators.pdf_extract import (pdf_corpus,
+                                                         pdf_extract_content)
+        df = pdf_extract_content(pdf_corpus(spark, '/root/testdata/sf0.001'))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # no aggregation shuffle -- assembly is fused into the kernel;
+        # the single allowed Exchange is pdf_corpus's round-robin spread
+        assert 'hashpartitioning' not in plan.lower(), plan
+        assert plan.count('Exchange') <= 1, plan
+
     def test_cross_format_neardup_recall(self, spark):
         # interleaved-corpus story: the same article as HTML spans and
         # as a PDF payload must pair up under shingle MinHash after
