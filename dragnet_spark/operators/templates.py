@@ -15,11 +15,13 @@ Recipe (all DataFrame ops, one Python stage inherited from extraction):
 2. near-dup over the boilerplate strings with shingle MinHash
    (``bands=16`` -- template variants share most but not all chrome;
    "hard" documents carry per-doc related-article fragments).
-3. connected components over the candidate pairs -> family labels.
-   Pair volume is linear (mega-bucket chain caps), so at this corpus's
-   scale the union-find runs driver-side over a collected edge list; at
-   10^12 docs the same edges feed an iterative label-propagation join
-   (document-level choice, same contract).
+3. connected components over the candidate pairs -> family labels,
+   via :func:`~dragnet_spark.operators.components.propagate_min_labels`
+   -- DataFrame-only min-label propagation with pointer jumping, so no
+   doc- or edge-level data ever reaches the driver (the r03 union-find
+   collected both; VERDICT r03 #1).  Pair volume is linear (mega-bucket
+   chain caps) and chain diameters are bounded by the bucket cap, so
+   the O(log d) rounds are few and bounded.
 
 Output: one row per family with its size and HOST SPREAD -- the
 cross-host signal is the point (a family living on one host is that
@@ -30,6 +32,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
+from .components import propagate_min_labels
 from .dedup import minhash_near_duplicates
 from .extract import extract
 
@@ -57,41 +60,35 @@ def boilerplate_docs(spans_df, model=None):
                     boiler.alias('boilerplate')))
 
 
-def template_families(spans_df, model=None, threshold=0.5):
+def template_families(spans_df, model=None, threshold=0.5, max_rounds=24):
     """One row per mined template family:
-    ``(family_id, n_docs, n_hosts, example_doc_id)``."""
-    spark = spans_df.sparkSession
+    ``(family_id, n_docs, n_hosts, example_doc_id, converged)``.
+
+    ``family_id`` is the component's minimum doc_id (same label the r03
+    driver-side union-find produced -- lexicographic min).  ``converged``
+    is per-run: False on every row iff label propagation hit
+    ``max_rounds`` with labels still moving (a component of diameter
+    > ~2^max_rounds; raise the bound rather than trusting the split)."""
     boiler = boilerplate_docs(spans_df, model=model) \
         .where(F.length('boilerplate') > 0).cache()
+    # thin (doc_id, host) projection materialized so the fat cached
+    # boilerplate can be dropped as soon as the pairs are mined
+    base = boiler.select('doc_id', 'host').localCheckpoint(eager=True)
     pairs = minhash_near_duplicates(
         boiler.select('doc_id', F.col('boilerplate').alias('text')),
         threshold=threshold, bands=16)
-
-    # union-find over the (linear, chain-capped) edge list
-    parent = {}
-
-    def find(x):
-        root = x
-        while parent.setdefault(root, root) != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
-
-    for r in pairs.select('doc_a', 'doc_b').collect():
-        ra, rb = find(r.doc_a), find(r.doc_b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-
-    docs = [(r.doc_id, r.host) for r in
-            boiler.select('doc_id', 'host').collect()]
-    labels = [(d, h, find(d)) for d, h in docs]
+    labels, converged = propagate_min_labels(
+        base.select('doc_id'), pairs,
+        id_col='doc_id', src_col='doc_a', dst_col='doc_b',
+        max_rounds=max_rounds)
     boiler.unpersist()
-    out = spark.createDataFrame(labels,
-                                'doc_id string, host string, family string')
-    return (out.groupBy('family')
-            .agg(F.count('*').alias('n_docs'),
-                 F.countDistinct('host').alias('n_hosts'),
-                 F.min('doc_id').alias('example_doc_id'))
-            .select(F.col('family').alias('family_id'), 'n_docs',
-                    'n_hosts', 'example_doc_id'))
+    out = (base
+           .join(labels, 'doc_id')
+           .groupBy('label')
+           .agg(F.count('*').alias('n_docs'),
+                F.countDistinct('host').alias('n_hosts'),
+                F.min('doc_id').alias('example_doc_id'))
+           .select(F.col('label').alias('family_id'), 'n_docs',
+                   'n_hosts', 'example_doc_id',
+                   F.lit(converged).alias('converged')))
+    return out
