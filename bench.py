@@ -163,7 +163,8 @@ def ann_recall(spark, sf_dir, k=10, n_queries=50):
     exact = {(r.query_id, r.neighbor_id)
              for r in cosine_topk(emb, queries, k=k).collect()}
     approx = {(r.query_id, r.neighbor_id)
-              for r in quantized_topk(emb, queries, k=k).collect()}
+              for r in quantized_topk(emb, queries, k=k,
+                                      n_total=n).collect()}
     recall = round(len(exact & approx) / max(len(exact), 1), 4)
     n_cand = max(k, int(np.ceil(SQ8_RERANK_FRAC * n)))
     return recall, round(n / n_cand, 2)

@@ -173,7 +173,7 @@ def _quantize(mat):
 
 
 def quantized_topk(df, queries_df, k=5, vec_col='embedding', id_col='vec_id',
-                   rerank_frac=SQ8_RERANK_FRAC):
+                   rerank_frac=SQ8_RERANK_FRAC, n_total=None):
     """Approximate top-k: SQ8 int8 scan over the whole corpus keeps the
     top ``rerank_frac`` approximate scores per query; exact cosine
     re-ranks only those.
@@ -186,10 +186,16 @@ def quantized_topk(df, queries_df, k=5, vec_col='embedding', id_col='vec_id',
     bench.py reports); the int8 scan touches 1/8 the bytes of the float64
     baseline and is the cache/memory-bandwidth-bound inner loop an IVF
     shard would run at 10^12 scale.
+
+    ``n_total``: corpus row count (or any upper bound), used only to
+    size the re-rank candidate budget.  Pass it when the caller already
+    knows it (a catalog row count, a cached upstream count) to skip the
+    extra counting job this query otherwise runs (VERDICT r03 #5).
     """
     from pyspark.sql import Window
 
-    n_total = df.count()
+    if n_total is None:
+        n_total = df.count()
     n_cand = max(int(k), int(np.ceil(rerank_frac * n_total)))
 
     qpdf = queries_df.select(F.col(id_col).alias('query_id'),
@@ -275,11 +281,14 @@ def bucket_candidate_pairs(keyed, id_col, a_col, b_col,
     partition and spills via the external sorter -- a degenerate
     single-bucket family streams through instead of collecting.
 
-    ``assume_distinct=True`` skips the (bucket, id) de-dup shuffle when
-    the caller guarantees one row per (bucket, id) -- true for all the
-    banded signature pipelines here (band index is hashed into the
-    bucket key).  Stray duplicate ids would only produce a==b pairs,
-    which are filtered."""
+    ``assume_distinct=True`` skips the (bucket, id) de-dup shuffle and
+    is a real precondition, not a hint: the caller MUST guarantee one
+    row per (bucket, id) -- true for all the banded signature pipelines
+    here (the band index is hashed into the bucket key).  If violated,
+    duplicates not only produce a==b pairs (filtered) but also inflate
+    the window count ``n``, which can flip a bucket near the cap into
+    chained mode and silently drop valid all-pairs -- when in doubt,
+    leave it False and pay the de-dup shuffle."""
     from pyspark.sql import Window
 
     members = keyed.select(F.col('bucket').alias('_bk'),
@@ -514,19 +523,36 @@ def ivf_quantized_topk(df, queries_df, k=5, vec_col='embedding',
     cheaper, and exact full-precision cosine re-ranks only the top
     ``rerank_frac`` of the in-cell candidates.
 
-    Plan shape: cell assignment (narrow Arrow stage) -> semi-join to the
-    probed-cell union -> one SQ8 scan stage over that subset (carrying
-    each row's cell so the per-query probe filter is exact) -> window
-    top-C per query -> exact re-rank join.  Every stage is the same
-    bounded pattern its two parents use; no new shuffle classes.
+    Plan shape: cell assignment (narrow Arrow stage, persisted -- the
+    inverted file a production IVF materializes once and reuses across
+    query batches) -> semi-join to the probed-cell union -> one SQ8
+    scan stage over that subset (carrying each row's cell so the
+    per-query probe filter is exact, and emitting only a per-batch
+    top-C superset, mirroring :func:`quantized_topk` -- VERDICT r03 #2)
+    -> window top-C_q per query -> exact re-rank join.  The re-rank
+    budget C_q = max(k, ceil(rerank_frac * candidates_q)) is sized from
+    the inverted file's per-cell counts (an O(n_cells)-row aggregate),
+    so the shuffle after the scan carries at most C rows per
+    (batch, query) instead of every in-cell member.
     """
-    from pyspark.sql import Window
+    approx, caps_df = _ivf_sq8_scan(df, queries_df, k, vec_col, id_col,
+                                    n_cells, n_probe, seed, sample_size,
+                                    rerank_frac)
+    return _exact_rerank(df, queries_df, approx, caps_df, k,
+                         vec_col, id_col)
 
+
+def _ivf_sq8_scan(df, queries_df, k, vec_col, id_col, n_cells, n_probe,
+                  seed, sample_size, rerank_frac):
+    """The IVF x SQ8 candidate stage: returns ``(approx, caps_df)`` --
+    the per-batch top-C pre-pruned scan output (query_id, neighbor_id,
+    cell, qscore; at most C rows per (input batch, query) by
+    construction) and the per-query re-rank budgets."""
     sample = (df.select(F.col(vec_col).alias('_v')).limit(sample_size)
               .toPandas())
     smat = np.vstack(sample['_v'].to_numpy()).astype(np.float64)
     centroids = _spherical_kmeans(smat, n_cells, seed=seed)
-    corpus_cells = ivf_assignments(df, centroids, vec_col, id_col)
+    corpus_cells = ivf_assignments(df, centroids, vec_col, id_col).persist()
 
     qpdf = queries_df.select(F.col(id_col).alias('query_id'),
                              F.col(vec_col).alias('_qv')).toPandas()
@@ -541,9 +567,31 @@ def ivf_quantized_topk(df, queries_df, k=5, vec_col='embedding',
         probe_rows, 'query_id long, cell int')
     probed_cells = sorted({c for _, c in probe_rows})
 
-    qq, qs = _quantize(qmat)
+    # per-query re-rank budget from the inverted file's cell sizes:
+    # candidates_q <= sum of the probed cells' member counts (a bounded
+    # n_cells-row aggregate over the persisted assignment, not a corpus
+    # count per query)
+    counts = {r['cell']: r['n'] for r in
+              (corpus_cells.where(F.col('cell').isin(probed_cells))
+               .groupBy('cell').agg(F.count('*').alias('n')).collect())}
     qids = qpdf['query_id'].to_numpy()
+    caps = {}
+    for q, cells in zip(qids, order):
+        bound = sum(counts.get(int(c), 0) for c in cells)
+        caps[int(q)] = max(int(k), int(np.ceil(rerank_frac * bound)))
+    cap_max = max(caps.values(), default=int(k))
+    caps_df = df.sparkSession.createDataFrame(
+        sorted(caps.items()), 'query_id long, _cap int')
+
+    qq, qs = _quantize(qmat)
     qq_t = qq.astype(np.int32).T
+    # (cell -> bool[nq]) probe masks: the pre-prune must only rank each
+    # query against rows of cells IT probed, or non-probed rows (dropped
+    # downstream anyway) would crowd real candidates out of the top-C
+    probe_sets = {int(q): {int(c) for c in cells}
+                  for q, cells in zip(qids, order)}
+    cell_qmask = {c: np.array([c in probe_sets[int(q)] for q in qids])
+                  for c in probed_cells}
 
     # SQ8 scan over ONLY the probed-cell union, cell carried through
     members = (df.select(F.col(id_col).alias('vec_id'),
@@ -567,24 +615,50 @@ def ivf_quantized_topk(df, queries_df, k=5, vec_col='embedding',
             ids = pdf['vec_id'].to_numpy()
             cells = pdf['cell'].to_numpy()
             n_b, nq = scores.shape
+            allowed = np.empty((n_b, nq), dtype=bool)
+            for c in np.unique(cells):
+                allowed[cells == c] = cell_qmask[int(c)]
+            # self matches are dropped downstream; mask them here too or
+            # a query that is itself a corpus member wastes a top-C slot
+            # on its own (score ~1.0) row
+            allowed &= ids[:, None] != qids[None, :]
+            scores = np.where(allowed, scores, -np.inf)
+            # per-batch top-C pre-prune: a valid superset of each
+            # query's global top-C (any batch holds <= C of them), so
+            # the window shuffle sees <= C rows per (batch, query)
+            # instead of the whole probed-cell membership
+            c = min(cap_max, n_b)
+            if c < n_b:
+                top = np.argpartition(-scores, c - 1, axis=0)[:c]
+            else:
+                top = np.tile(np.arange(n_b)[:, None], (1, nq))
+            flat = top.T.reshape(-1)
+            qcol = np.repeat(qids, c)
+            scol = scores[flat, np.repeat(np.arange(nq), c)]
+            keep = np.isfinite(scol)   # masked filler rows never leave
             yield pd.DataFrame({
-                'query_id': np.repeat(qids, n_b),
-                'neighbor_id': np.tile(ids, nq),
-                'cell': np.tile(cells, nq).astype(np.int32),
-                'qscore': scores.T.reshape(-1)})
+                'query_id': qcol[keep],
+                'neighbor_id': ids[flat][keep],
+                'cell': cells[flat][keep].astype(np.int32),
+                'qscore': scol[keep]})
 
     approx = (members.mapInPandas(scan, out_schema)
               .join(F.broadcast(probes), ['query_id', 'cell'])
               .where(F.col('neighbor_id') != F.col('query_id')))
+    return approx, caps_df
+
+
+def _exact_rerank(df, queries_df, approx, caps_df, k, vec_col, id_col):
+    """Window top-C_q per query over the pre-pruned scan output, then
+    exact full-precision cosine over only those candidates."""
+    from pyspark.sql import Window
+
     wq = Window.partitionBy('query_id').orderBy(
         F.desc('qscore'), F.asc('neighbor_id'))
-    wc = Window.partitionBy('query_id')
     cand = (approx
-            .withColumn('_n', F.count('*').over(wc))
+            .join(F.broadcast(caps_df), 'query_id')
             .withColumn('_r', F.row_number().over(wq))
-            .where(F.col('_r') <= F.greatest(
-                F.lit(int(k)),
-                F.ceil(F.lit(float(rerank_frac)) * F.col('_n'))))
+            .where(F.col('_r') <= F.col('_cap'))
             .select('query_id', 'neighbor_id'))
 
     corpus = with_norm(df, vec_col).select(

@@ -418,3 +418,51 @@ class TestSimilarityPlans:
                 ._jdf.queryExecution().executedPlan().toString())
         assert plan.count('Union') == 0, plan
         assert plan.lower().count('sort_array(collect_set') <= 2, plan
+
+
+@pytest.mark.spark
+class TestIvfScanPrePrune:
+    """VERDICT r03 #2: the IVF x SQ8 scan must emit only a per-batch
+    top-C superset into the window shuffle, like quantized_topk."""
+
+    def test_scan_output_bounded_and_recall_held(self, spark):
+        import math
+        import pyspark.sql.functions as F2
+        from dragnet_spark.operators.similarity import (
+            _ivf_sq8_scan, cosine_topk, ivf_quantized_topk,
+            with_planted_clusters)
+        emb = spark.read.parquet(
+            '/root/testdata/sf0.001/embeddings.parquet')
+        clustered = with_planted_clusters(emb, n_clusters=5) \
+            .repartition(4).cache()
+        q = clustered.where(F2.col('vec_id') < 10)
+        # white-box: the scan stage must emit <= cap_max rows per
+        # (Arrow chunk, query).  Chunks = the members-join output
+        # batches (<= shuffle partitions here), so per query the scan
+        # emits <= n_batches * cap_max rows -- far below the in-cell
+        # membership (5 planted clusters of 100, 3 probes: >= ~100
+        # members/query), which is what the r03 scan shuffled.
+        # rerank_frac=0.02 makes the budget visibly smaller than the
+        # membership at this 500-row scale.
+        approx, caps_df = _ivf_sq8_scan(
+            clustered, q, 5, 'embedding', 'vec_id', 16, 3, 42, 20000, 0.02)
+        n_batches = int(spark.conf.get('spark.sql.shuffle.partitions'))
+        caps = {r.query_id: r._cap for r in caps_df.collect()}
+        cap_max = max(caps.values())
+        assert cap_max <= math.ceil(0.02 * 500) + 5, caps
+        per_q = {r.query_id: r.n for r in
+                 approx.groupBy('query_id')
+                 .agg(F2.count('*').alias('n')).collect()}
+        for qid, n in per_q.items():
+            assert n <= n_batches * cap_max, (qid, n, cap_max)
+        # black-box: recall vs brute force unchanged
+        out = ivf_quantized_topk(clustered, q, k=5, n_cells=16, n_probe=3,
+                                 rerank_frac=0.1)
+        exact = {(r.query_id, r.neighbor_id)
+                 for r in cosine_topk(clustered, q, k=5).collect()}
+        got = {(r.query_id, r.neighbor_id) for r in out.collect()}
+        assert len(exact & got) / len(exact) >= 0.9
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            if 'Exchange hashpartitioning' in line:
+                assert 'query_id' in line, line
