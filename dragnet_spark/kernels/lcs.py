@@ -26,15 +26,23 @@ Memory/time bounds (SURVEY.md §4).  The reference materializes the full
   from the reference's backtrack (the reference asserts out above 65k
   tokens, so there is no parity target in this regime).
 * beyond ``CELL_BUDGET``: O(m*n) *time* is the real bound (a 500k x 500k
-  pair is ~2.5e11 cell ops regardless of space), so both sides are capped
-  -- gold to ``MAX_TOKENS``, the document to ``CELL_BUDGET / gold_cap``.
-  Tokens past the document cap are *unknown*, never unmatched; if the
-  GOLD side had to be truncated, every flag is unreliable (a document
-  token whose true match lies past the gold cap would read as
-  unmatched), so callers must treat ALL fracs for that field as unknown.
-  ``check_inclusion_ex`` reports both conditions;
-  ``operators/labeling.py`` emits null fracs/labels accordingly plus a
-  ``truncated`` flag.
+  pair is ~2.5e11 cell ops regardless of space), so work is capped.
+  Tokens past the document cap are *unknown*, never unmatched.  Long
+  GOLD (> ``MAX_TOKENS``) no longer voids the whole document (the r03
+  behavior VERDICT r03 #5 flagged): the gold side is chunked into
+  overlapping windows (``GOLD_WINDOW``/``GOLD_OVERLAP``) and the
+  per-window inclusion flags are unioned, so every gold token is seen
+  and long-gold documents keep real labels.  The union relaxes LCS's
+  *global* ordering to per-window ordering -- a token can match
+  out-of-global-order across windows -- which can only mark extra
+  tokens, never lose true matches whose context fits a window; the
+  reference asserts out above 65k tokens, so there is no parity target
+  here.  The document cap shrinks to ``CELL_BUDGET / (window *
+  n_windows)`` to keep total work bounded; only past ``MAX_GOLD_WINDOWS``
+  (~123k gold tokens) does gold truncation -- and the all-unknown
+  contract -- kick back in.  ``check_inclusion_ex`` reports coverage and
+  truncation; ``operators/labeling.py`` emits null fracs/labels
+  accordingly plus a ``truncated`` flag.
 """
 
 from __future__ import annotations
@@ -48,6 +56,12 @@ CELL_BUDGET = MAX_TOKENS * 65536
 # Subproblem size below which Hirschberg falls back to the full-matrix
 # backtrack (4M cells = 8 MB uint16).
 _BASE_CELLS = 1 << 22
+# Long-gold windowing: gold beyond MAX_TOKENS is scored window by
+# window and the flags unioned.  The overlap keeps matches whose
+# context straddles a boundary discoverable in the next window.
+GOLD_WINDOW = MAX_TOKENS
+GOLD_OVERLAP = 512
+MAX_GOLD_WINDOWS = 16
 
 
 def _encode(x, y):
@@ -171,6 +185,17 @@ def _hirschberg(x, y, xc, yc, out):
     _hirschberg(x[mid:], y[k:], xc[mid:], yc[k:], out)
 
 
+def _inclusion(xs, ys):
+    """Inclusion flags for ``xs`` vs ``ys``, full-matrix backtrack when
+    it fits, Hirschberg otherwise."""
+    xc, yc = _encode(xs, ys)
+    if len(xs) * len(ys) <= MAX_TOKENS * MAX_TOKENS:
+        return _backtrack(xs, ys, xc, yc)
+    flags = []
+    _hirschberg(xs, ys, xc, yc, flags)
+    return flags
+
+
 def check_inclusion_ex(x, y):
     """For each covered token of ``x``: is it part of the LCS with ``y``?
 
@@ -179,10 +204,14 @@ def check_inclusion_ex(x, y):
     * ``flags`` -- inclusion booleans for ``x[:x_covered]``,
     * ``x_covered`` -- how many leading document tokens were scored
       (tokens past it are *unknown*, never unmatched),
-    * ``gold_truncated`` -- True when ``y`` itself had to be truncated,
-      in which case every flag is unreliable (a token matching past the
-      gold cap reads as unmatched) and callers must treat all derived
-      fractions as unknown.
+    * ``gold_truncated`` -- True when ``y`` could not be fully seen
+      (beyond ``MAX_GOLD_WINDOWS`` windows), in which case every flag
+      is unreliable (a token matching past the seen gold reads as
+      unmatched) and callers must treat all derived fractions as
+      unknown.  Long-but-windowable gold (``MAX_TOKENS`` < len(y) <=
+      ~``MAX_GOLD_WINDOWS * GOLD_WINDOW``) is fully seen via
+      overlapping windows and is NOT truncation: flags are the union of
+      per-window LCS inclusion (module docstring).
     """
     m = len(x)
     n = len(y)
@@ -191,19 +220,26 @@ def check_inclusion_ex(x, y):
     if m == 0:
         return [], 0, False
     if m * n <= CELL_BUDGET:
-        y_cap, x_cap = n, m
-    else:
-        y_cap = min(n, MAX_TOKENS)
-        x_cap = min(m, CELL_BUDGET // y_cap)
+        return _inclusion(x, y), m, False
+    if n <= MAX_TOKENS:
+        x_cap = min(m, CELL_BUDGET // n)
+        return _inclusion(x[:x_cap], y), x_cap, False
+    # long gold: overlapping windows, flags unioned
+    step = GOLD_WINDOW - GOLD_OVERLAP
+    starts = list(range(0, n, step))[:MAX_GOLD_WINDOWS]
+    if starts[-1] + GOLD_WINDOW < n:
+        # gold too long even for windowing: callers null every label on
+        # gold truncation, so don't burn the window budget computing
+        # flags that will be discarded -- one capped pass, flagged
+        x_cap = min(m, CELL_BUDGET // MAX_TOKENS)
+        return _inclusion(x[:x_cap], y[:MAX_TOKENS]), x_cap, True
+    x_cap = min(m, max(CELL_BUDGET // (GOLD_WINDOW * len(starts)), 64))
     xs = x[:x_cap]
-    ys = y[:y_cap]
-    xc, yc = _encode(xs, ys)
-    if x_cap * y_cap <= MAX_TOKENS * MAX_TOKENS:
-        flags = _backtrack(xs, ys, xc, yc)
-    else:
-        flags = []
-        _hirschberg(xs, ys, xc, yc, flags)
-    return flags, x_cap, y_cap < n
+    acc = np.zeros(x_cap, dtype=bool)
+    for s in starts:
+        flags = _inclusion(xs, y[s:s + GOLD_WINDOW])
+        acc |= np.asarray(flags, dtype=bool)
+    return acc.tolist(), x_cap, False
 
 
 def check_inclusion(x, y):

@@ -81,9 +81,48 @@ def test_long_gold_fully_covered():
     assert all(flags)
 
 
-def test_cell_budget_truncates_and_reports():
+def test_cell_budget_caps_doc_not_gold():
+    """60k-token gold over a 70k-token doc: r03 truncated the gold and
+    voided every label; now 8 overlapping windows see ALL of the gold
+    and only the doc side is capped (VERDICT r03 #5)."""
     x = ['x%d' % i for i in range(70000)]
     y = ['y%d' % i for i in range(60000)]  # m*n >> CELL_BUDGET
+    flags, covered, gtrunc = L.check_inclusion_ex(x, y)
+    assert not gtrunc
+    n_windows = len(range(0, 60000, L.GOLD_WINDOW - L.GOLD_OVERLAP))
+    assert covered == L.CELL_BUDGET // (L.GOLD_WINDOW * n_windows)
+    assert len(flags) == covered
+    assert not any(flags)  # disjoint vocabularies: genuinely unmatched
+
+
+def test_windowed_long_gold_keeps_real_labels():
+    """The r03 gap: gold > MAX_TOKENS with an over-budget doc voided ALL
+    labels.  A 20k-token gold inside a 30k-token doc must now yield real
+    flags: every embedded gold token inside the covered prefix matched,
+    junk tokens unmatched."""
+    gold = ['g%d' % i for i in range(20000)]
+    junk = ['j%d' % i for i in range(10000)]
+    # interleave: 2 gold tokens, 1 junk token, preserving gold order
+    doc = []
+    gi = iter(gold)
+    for k, j in enumerate(junk):
+        doc.append(next(gi))
+        doc.append(next(gi))
+        doc.append(j)
+    assert len(doc) == 30000
+    flags, covered, gtrunc = L.check_inclusion_ex(doc, gold)
+    assert not gtrunc
+    assert covered > 10000  # a real covered prefix, not all-unknown
+    got = flags[:covered]
+    want = [not t.startswith('j') for t in doc[:covered]]
+    # every gold token in a window's span matches; overlap windows cover
+    # the boundaries, so the union equals the exact answer here
+    assert got == want
+
+
+def test_gold_beyond_window_budget_still_flags_truncation():
+    x = ['x%d' % i for i in range(70000)]
+    y = ['y%d' % i for i in range(200000)]  # > MAX_GOLD_WINDOWS windows
     flags, covered, gtrunc = L.check_inclusion_ex(x, y)
     assert gtrunc
     assert covered == L.CELL_BUDGET // L.MAX_TOKENS
@@ -93,7 +132,7 @@ def test_cell_budget_truncates_and_reports():
 def test_gold_truncated_fracs_all_unknown():
     """ADVICE r02 (medium): when the gold side is truncated every frac
     must be None (unknown), never a silent 0.0 -> label 0."""
-    n_tok = 80000  # with doc ~70k tokens, m*n > CELL_BUDGET forces caps
+    n_tok = 200000  # past MAX_GOLD_WINDOWS: windowing cannot cover it
     gold_tokens = ['t%d' % i for i in range(n_tok)]
     doc_tokens = gold_tokens[:70000]
     blocks_tokens = [doc_tokens[:10], doc_tokens[10:]]
