@@ -47,8 +47,17 @@ HEAD_SIZE = 18
 
 def _esc(s: str) -> str:
     """PDF string operand: latin-1-safe text as an escaped literal
-    string, anything else as a BOM-prefixed UTF-16BE hex string (the
-    spec's standard Unicode text-string form, ISO 32000 7.9.2)."""
+    string, anything else as a BOM-prefixed UTF-16BE hex string.
+
+    LIMITATION (writer/parser-internal convention): ISO 32000's UTF-16
+    text-string form (7.9.2) applies to document-metadata strings, not
+    to show-operator operands, which are byte strings in the page
+    font's encoding.  A conformant viewer rendering this writer's
+    non-latin-1 output (e.g. the zh chrome fixtures) through the
+    WinAnsi-encoded Helvetica would show garbage; only this module's
+    own parser (``_decode_hex`` honors the BOM) round-trips it.  The
+    fixtures exist to exercise the *pipeline* on non-Latin text, not
+    to produce viewer-conformant PDFs (ADVICE r03)."""
     try:
         s.encode('latin-1')
     except UnicodeEncodeError:
@@ -166,10 +175,23 @@ def make_pdf(title, paragraphs, header=None, footer=None, wrap=90):
 
 _OBJ_HEAD_RE = re.compile(rb'(\d+)\s+(\d+)\s+obj\b')
 _STREAM_OPEN_RE = re.compile(rb'stream\r?\n')
-_LENGTH_RE = re.compile(rb'/Length\s+(\d+)(?!\s+\d+\s+R)')
+# (?![0-9]) pins the digit boundary: without it, '/Length 15 0 R'
+# backtracks \d+ to '1' (the '5 0 R' tail then defeats the indirect-ref
+# lookahead) and slices a 1-byte stream instead of falling back to the
+# endstream scan (ADVICE r03, medium)
+_LENGTH_RE = re.compile(rb'/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)')
 _ENDSTREAM_RE = re.compile(rb'\r?\n?endstream')
 _CONTENTS_RE = re.compile(rb'/Contents\s+(\d+)\s+\d+\s+R')
+_CONTENTS_ARR_RE = re.compile(rb'/Contents\s*\[((?:\s*\d+\s+\d+\s+R)*)\s*\]')
+_REF_RE = re.compile(rb'(\d+)\s+\d+\s+R')
 _PAGE_RE = re.compile(rb'/Type\s*/Page\b(?!s)')
+_PAGES_RE = re.compile(rb'/Type\s*/Pages\b')
+_MEDIABOX_RE = re.compile(
+    rb'/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)'
+    rb'\s+([\d.+-]+)\s*\]')
+_OBJSTM_RE = re.compile(rb'/Type\s*/ObjStm\b')
+_OBJSTM_N_RE = re.compile(rb'/N\s+(\d+)(?![0-9])(?!\s+\d+\s+R)')
+_OBJSTM_FIRST_RE = re.compile(rb'/First\s+(\d+)(?![0-9])(?!\s+\d+\s+R)')
 
 
 def _iter_objects(data: bytes):
@@ -260,41 +282,108 @@ def _decode_hex(raw: bytes) -> str:
     return b.decode('latin-1')
 
 
+def _expand_object_streams(dicts, streams):
+    """PDF 1.5 compressed object streams (/Type /ObjStm): inflate each
+    one, parse the N (objnum, offset) header pairs, and register the
+    embedded dict-only objects.  Malformed object streams are skipped,
+    never fatal."""
+    for num in [n for n, d in dicts.items() if _OBJSTM_RE.search(d)]:
+        raw = streams.get(num)
+        nm = _OBJSTM_N_RE.search(dicts[num])
+        fm = _OBJSTM_FIRST_RE.search(dicts[num])
+        if raw is None or not nm or not fm:
+            continue
+        if b'/FlateDecode' in dicts[num]:
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error:
+                continue
+        n_objs, first = int(nm.group(1)), int(fm.group(1))
+        try:
+            header = raw[:first].split()
+            pairs = [(int(header[2 * i]), int(header[2 * i + 1]))
+                     for i in range(n_objs)]
+        except (ValueError, IndexError):
+            continue
+        for i, (objnum, off) in enumerate(pairs):
+            end = pairs[i + 1][1] if i + 1 < len(pairs) else len(raw) - first
+            body = raw[first + off:first + end]
+            dicts.setdefault(objnum, body)
+
+
 def _page_content_streams(data: bytes):
-    """Yield (page_index, inflated content bytes) in document order."""
+    """Yield (page_index, inflated content bytes, page_height) in
+    document order.  A page's /Contents may be a single reference or an
+    array (the streams concatenate into one logical stream, ISO 32000
+    7.8.2); page height comes from the page's own /MediaBox, inherited
+    from the /Pages root when absent, defaulting to the writer's
+    letter-size PAGE_H (ADVICE r03: externally produced A4 etc. must
+    not be de-chromed against letter-size margin zones)."""
     dicts = {}
     streams = {}
     for num, head, stream in _iter_objects(data):
         dicts[num] = head
         if stream is not None:
             streams[num] = stream
+    _expand_object_streams(dicts, streams)
+
+    default_h = float(PAGE_H)
+    for num in sorted(dicts):
+        if _PAGES_RE.search(dicts[num]):
+            mb = _MEDIABOX_RE.search(dicts[num])
+            if mb:
+                try:
+                    default_h = (float(mb.group(4)) - float(mb.group(2)))
+                except ValueError:
+                    pass
+                break
+
     pages = []
     for num in sorted(dicts):
         if _PAGE_RE.search(dicts[num]):
-            cm = _CONTENTS_RE.search(dicts[num])
-            if cm:
-                pages.append(int(cm.group(1)))
-    for idx, cnum in enumerate(pages):
-        raw = streams.get(cnum)
-        if raw is None:
-            continue
-        if b'/FlateDecode' in dicts.get(cnum, b''):
-            try:
-                raw = zlib.decompress(raw)
-            except zlib.error:
+            am = _CONTENTS_ARR_RE.search(dicts[num])
+            if am:
+                cnums = [int(g) for g in _REF_RE.findall(am.group(1))]
+            else:
+                cm = _CONTENTS_RE.search(dicts[num])
+                cnums = [int(cm.group(1))] if cm else []
+            if not cnums:
                 continue
-        yield idx, raw
+            mb = _MEDIABOX_RE.search(dicts[num])
+            page_h = default_h
+            if mb:
+                try:
+                    page_h = float(mb.group(4)) - float(mb.group(2))
+                except ValueError:
+                    pass
+            pages.append((cnums, page_h))
+
+    for idx, (cnums, page_h) in enumerate(pages):
+        parts = []
+        for cnum in cnums:
+            raw = streams.get(cnum)
+            if raw is None:
+                continue
+            if b'/FlateDecode' in dicts.get(cnum, b''):
+                try:
+                    raw = zlib.decompress(raw)
+                except zlib.error:
+                    continue
+            parts.append(raw)
+        if not parts:
+            continue
+        yield idx, b'\n'.join(parts), page_h
 
 
 def extract_text_runs(data: bytes):
     """Parse a PDF into positioned text runs.
 
-    Returns a list of dicts ``{page, x, y, size, text}`` in emission
-    order.  Unsupported constructs are skipped, never fatal (the malformed
-    real world is the point of a recovering parser).
+    Returns a list of dicts ``{page, x, y, size, text, page_h}`` in
+    emission order.  Unsupported constructs are skipped, never fatal
+    (the malformed real world is the point of a recovering parser).
     """
     runs = []
-    for page, content in _page_content_streams(data):
+    for page, content, page_h in _page_content_streams(data):
         x = y = 0.0
         lx = ly = 0.0          # line start (Td/Tm reference)
         size = 0.0
@@ -351,7 +440,8 @@ def extract_text_runs(data: bytes):
                     if in_text and stack and stack[-1][0] == 's' \
                             and stack[-1][1]:
                         runs.append({'page': page, 'x': x, 'y': y,
-                                     'size': size, 'text': stack[-1][1]})
+                                     'size': size, 'text': stack[-1][1],
+                                     'page_h': page_h})
                         x += 0.5 * size * len(stack[-1][1])  # advance est.
                 elif op == b'TJ':
                     if in_text:
@@ -359,7 +449,8 @@ def extract_text_runs(data: bytes):
                         text = ''.join(parts)
                         if text:
                             runs.append({'page': page, 'x': x, 'y': y,
-                                         'size': size, 'text': text})
+                                         'size': size, 'text': text,
+                                         'page_h': page_h})
                             x += 0.5 * size * len(text)
                 stack = []
     return runs
@@ -376,8 +467,10 @@ def layout_blocks(runs, line_tol_frac=0.5, block_gap_frac=1.8):
     Lines: runs whose baselines agree within ``line_tol_frac * size``.
     Blocks: consecutive lines split when the vertical gap exceeds
     ``block_gap_frac`` x the page's dominant leading, or the font size
-    changes.  Returns dicts ``{page, block_idx, kind, size, y_top, text}``
-    with ``kind`` heading/body by relative size, in reading order.
+    changes.  Returns dicts ``{page, block_idx, kind, size, y_top,
+    text, page_h}`` with ``kind`` heading/body by relative size, in
+    reading order; ``page_h`` is the page's /MediaBox height so the
+    de-chroming zones track the actual page size (ADVICE r03).
     """
     blocks = []
     by_page = {}
@@ -419,6 +512,7 @@ def layout_blocks(runs, line_tol_frac=0.5, block_gap_frac=1.8):
             lead = max(set(gaps), key=gaps.count)
         else:
             lead = LEADING
+        page_h = float(rs[0].get('page_h', PAGE_H)) if rs else float(PAGE_H)
         # group lines into blocks
         cur = None
         for ln in lines:
@@ -429,7 +523,8 @@ def layout_blocks(runs, line_tol_frac=0.5, block_gap_frac=1.8):
                 if cur:
                     blocks.append(cur)
                 cur = {'page': page, 'size': ln['size'], 'y_top': ln['y'],
-                       'y_last': ln['y'], 'texts': [' '.join(ln['parts'])]}
+                       'y_last': ln['y'], 'page_h': page_h,
+                       'texts': [' '.join(ln['parts'])]}
             else:
                 cur['texts'].append(' '.join(ln['parts']))
                 cur['y_last'] = ln['y']
@@ -441,7 +536,7 @@ def layout_blocks(runs, line_tol_frac=0.5, block_gap_frac=1.8):
         kind = 'heading' if b['size'] >= 1.3 * max(body_size, 1.0) else 'body'
         out.append({'page': b['page'], 'block_idx': bidx, 'kind': kind,
                     'size': b['size'], 'y_top': b['y_top'],
-                    'text': ' '.join(b['texts'])})
+                    'page_h': b['page_h'], 'text': ' '.join(b['texts'])})
         bidx += 1
     return out
 
@@ -460,8 +555,10 @@ def strip_repeated_furniture(blocks, min_frac=0.5, zone_frac=0.2):
     n_pages = len({b['page'] for b in blocks})
     if n_pages <= 1:
         return list(blocks)
-    lo = zone_frac * PAGE_H
-    hi = (1.0 - zone_frac) * PAGE_H
+
+    def in_body(b):
+        page_h = float(b.get('page_h', PAGE_H))
+        return zone_frac * page_h <= b['y_top'] <= (1.0 - zone_frac) * page_h
 
     def key(b):
         return (_PAGENO_RE.sub('#', b['text']).strip(),
@@ -469,21 +566,30 @@ def strip_repeated_furniture(blocks, min_frac=0.5, zone_frac=0.2):
 
     seen = {}
     for b in blocks:
-        if not lo <= b['y_top'] <= hi:
+        if not in_body(b):
             seen.setdefault(key(b), set()).add(b['page'])
     keep = []
     for b in blocks:
-        if not lo <= b['y_top'] <= hi \
+        if not in_body(b) \
                 and len(seen.get(key(b), ())) / n_pages >= min_frac:
             continue
         keep.append(b)
     return keep
 
 
-def strip_margin_furniture(blocks, bottom=60, top=PAGE_H - 60):
+def strip_margin_furniture(blocks, bottom=60, top=None, top_inset=60):
     """Zone-based de-chroming complement: blocks living entirely in the
     top/bottom page margins (running headers, footers, page numbers) are
     furniture regardless of repetition -- the heuristic that still works
     on single-page documents, where :func:`strip_repeated_furniture`
-    has no recurrence signal."""
-    return [b for b in blocks if bottom <= b['y_top'] <= top]
+    has no recurrence signal.
+
+    The top zone follows each block's own page height (``page_h`` from
+    its /MediaBox): an A4 page's header zone starts at 842-``top_inset``,
+    not at the letter-size writer constant (ADVICE r03).  Pass ``top``
+    to force an absolute ceiling instead."""
+    if top is not None:
+        return [b for b in blocks if bottom <= b['y_top'] <= top]
+    return [b for b in blocks
+            if bottom <= b['y_top']
+            <= float(b.get('page_h', PAGE_H)) - top_inset]

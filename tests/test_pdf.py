@@ -205,3 +205,132 @@ class TestPdfOperators:
         assert agg['docs'] == 500
         assert agg['heads'] == 500   # one title heading per doc
         assert agg['min_y'] >= 0
+
+
+class TestAdversarialFixtures:
+    """Hand-written payloads the writer never emits (VERDICT r03 #7 +
+    ADVICE r03): indirect multi-digit /Length, /Contents arrays,
+    non-letter MediaBox, Tz/Ts operators, raw (non-Flate) streams,
+    xref free entries, and PDF 1.5 object streams.  Everything must
+    parse or skip contained -- never raise."""
+
+    @staticmethod
+    def _doc(body_objs, extra=b''):
+        return (b'%PDF-1.4\n'
+                b'1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n'
+                + body_objs + extra)
+
+    def test_indirect_multidigit_length_falls_back_to_endstream(self):
+        # ADVICE r03 (medium): '/Length 15 0 R' used to backtrack-match
+        # '1' and slice a 1-byte stream; it must fall back to the
+        # endstream scan and recover the full text
+        payload = b'BT /F1 11 Tf 1 0 0 1 72 700 Tm (full text kept) Tj ET'
+        doc = self._doc(
+            b'2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n'
+            b'3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n'
+            b'endobj\n'
+            b'4 0 obj\n<< /Length 15 0 R >>\nstream\n'
+            + payload + b'\nendstream\nendobj\n'
+            b'15 0 obj\n' + str(len(payload)).encode() + b'\nendobj\n')
+        runs = extract_text_runs(doc)
+        assert [r['text'] for r in runs] == ['full text kept']
+
+    def test_contents_array_concatenates_streams(self):
+        # ISO 32000 7.8.2: /Contents [a 0 R b 0 R] is one logical stream
+        p1 = b'BT /F1 11 Tf 1 0 0 1 72 700 Tm (part one) Tj'
+        p2 = b'1 0 0 1 72 680 Tm (part two) Tj ET'
+        doc = self._doc(
+            b'2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n'
+            b'3 0 obj\n<< /Type /Page /Parent 2 0 R '
+            b'/Contents [4 0 R 5 0 R] >>\nendobj\n'
+            + (b'4 0 obj\n<< /Length %d >>\nstream\n' % len(p1))
+            + p1 + b'\nendstream\nendobj\n'
+            + (b'5 0 obj\n<< /Length %d >>\nstream\n' % len(p2))
+            + p2 + b'\nendstream\nendobj\n')
+        runs = extract_text_runs(doc)
+        assert [r['text'] for r in runs] == ['part one', 'part two']
+
+    def test_a4_mediabox_moves_margin_zones(self):
+        # ADVICE r03: an A4 page (842 pt) header at y=800 sat "above"
+        # the letter-size top zone and was stripped as out-of-page; the
+        # zones must follow the page's own /MediaBox
+        payload = (b'BT /F1 9 Tf 1 0 0 1 72 800 Tm (running header) Tj\n'
+                   b'/F1 11 Tf 1 0 0 1 72 420 Tm (a4 body content) Tj ET')
+        doc = self._doc(
+            b'2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n'
+            b'3 0 obj\n<< /Type /Page /Parent 2 0 R '
+            b'/MediaBox [0 0 595 842] /Contents 4 0 R >>\nendobj\n'
+            + (b'4 0 obj\n<< /Length %d >>\nstream\n' % len(payload))
+            + payload + b'\nendstream\nendobj\n')
+        runs = extract_text_runs(doc)
+        assert {r['page_h'] for r in runs} == {842.0}
+        blocks = layout_blocks(runs)
+        clean = strip_margin_furniture(blocks)
+        texts = [b['text'] for b in clean]
+        assert 'a4 body content' in texts       # mid-page body kept
+        assert 'running header' not in texts    # y=800 is A4 margin zone
+
+    def test_unknown_operators_tz_ts_skipped(self):
+        payload = (b'BT /F1 11 Tf 120 Tz 3 Ts 1 0 0 1 72 700 Tm '
+                   b'(scaled text) Tj 0 Ts ET')
+        doc = self._doc(
+            b'2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n'
+            b'3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n'
+            b'endobj\n'
+            + (b'4 0 obj\n<< /Length %d >>\nstream\n' % len(payload))
+            + payload + b'\nendstream\nendobj\n')
+        runs = extract_text_runs(doc)
+        assert [r['text'] for r in runs] == ['scaled text']
+
+    def test_xref_free_entries_ignored(self):
+        # the scanner walks objects linearly; a free-list xref table and
+        # a dangling free entry must not disturb it
+        payload = b'BT /F1 11 Tf 1 0 0 1 72 700 Tm (alive) Tj ET'
+        doc = self._doc(
+            b'2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n'
+            b'3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n'
+            b'endobj\n'
+            + (b'4 0 obj\n<< /Length %d >>\nstream\n' % len(payload))
+            + payload + b'\nendstream\nendobj\n',
+            extra=(b'xref\n0 5\n'
+                   b'0000000005 65535 f \n'
+                   b'0000000010 00000 n \n'
+                   b'0000000005 00001 f \n'
+                   b'0000000200 00000 n \n'
+                   b'0000000300 00000 n \n'
+                   b'trailer\n<< /Size 5 /Root 1 0 R >>\n'
+                   b'startxref\n9\n%%EOF\n'))
+        runs = extract_text_runs(doc)
+        assert [r['text'] for r in runs] == ['alive']
+
+    def test_pdf15_object_streams_parsed(self):
+        # PDF 1.5: catalog/pages/page dicts compressed inside an
+        # /ObjStm; only the content stream is a top-level object
+        import zlib as _z
+        payload = b'BT /F1 11 Tf 1 0 0 1 72 700 Tm (from objstm) Tj ET'
+        embedded = (b'<< /Type /Catalog /Pages 2 0 R >>',
+                    b'<< /Type /Pages /Kids [3 0 R] /Count 1 >>',
+                    b'<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>')
+        nums = (1, 2, 3)
+        offs, body = [], b''
+        for b_ in embedded:
+            offs.append(len(body))
+            body += b_ + b'\n'
+        header = ' '.join('%d %d' % (n, o)
+                          for n, o in zip(nums, offs)).encode() + b'\n'
+        stm = _z.compress(header + body)
+        doc = (b'%PDF-1.5\n'
+               + (b'5 0 obj\n<< /Type /ObjStm /N 3 /First %d /Length %d '
+                  b'/Filter /FlateDecode >>\nstream\n'
+                  % (len(header), len(stm)))
+               + stm + b'\nendstream\nendobj\n'
+               + (b'4 0 obj\n<< /Length %d >>\nstream\n' % len(payload))
+               + payload + b'\nendstream\nendobj\n')
+        runs = extract_text_runs(doc)
+        assert [r['text'] for r in runs] == ['from objstm']
+
+    def test_truncated_objstm_contained(self):
+        doc = (b'%PDF-1.5\n'
+               b'5 0 obj\n<< /Type /ObjStm /N 9 /First 400 /Length 4 '
+               b'>>\nstream\nabcd\nendstream\nendobj\n')
+        assert extract_text_runs(doc) == []
