@@ -64,9 +64,13 @@ def read_extracted(spark, base):
 
     The output is hive-partitioned by ``run_id``, so the semi-join key
     includes the partition column and orphan *directories* cost only a
-    listing, never a data read of their row groups.
+    listing, never a data read of their row groups.  Bases written
+    before the partitioned layout (flat files with ``run_id`` as a data
+    column) still read via :func:`tables.read_all_runs`, which unions
+    the two layouts instead of tripping partition discovery.
     """
-    out = spark.read.parquet(os.path.join(base, 'extracted'))
+    out = tables.read_all_runs(spark, 'extracted',
+                               path=os.path.join(base, 'extracted'))
     committed = (read_manifest(spark, base)
                  .select('run_id', 'partition_id').distinct())
     return out.join(F.broadcast(committed), ['run_id', 'partition_id'],

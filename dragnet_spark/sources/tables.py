@@ -107,6 +107,40 @@ def append_run_partitioned(df, name, path=None, catalog='lake'):
     df.write.mode('append').partitionBy('run_id').parquet(path)
 
 
+def read_all_runs(spark, name, path=None, catalog='lake'):
+    """Every run's rows, tolerant of a MIXED on-disk layout.
+
+    The parquet fallback wrote flat ``part-*.parquet`` files with
+    ``run_id`` as a data column before r03 introduced hive-partitioned
+    ``run_id=<id>/`` directories.  A checkpoint base holding both (an
+    old checkpoint resumed under the new code) fails Spark's partition
+    discovery outright -- conflicting directory structures plus a
+    duplicate ``run_id`` column (ADVICE r03).  Here the two layouts are
+    listed apart and read separately, then unioned by name with
+    ``run_id`` normalized to string (partition-value type inference
+    could otherwise type an all-digit run id as long).  Iceberg needs
+    none of this: the partition transform is table metadata, not
+    directory layout.
+    """
+    if catalog_available(spark, catalog):
+        return spark.read.table('%s.%s' % (catalog, name))
+    if path is None:
+        raise ValueError('no Iceberg catalog and no fallback path for %r'
+                         % name)
+    import os
+    entries = os.listdir(path) if os.path.isdir(path) else []
+    flat = sorted(e for e in entries
+                  if e.endswith('.parquet') and not e.startswith('_'))
+    runs = sorted(e for e in entries if e.startswith('run_id='))
+    if not (flat and runs):
+        return spark.read.parquet(path)
+    legacy = spark.read.parquet(*(os.path.join(path, f) for f in flat))
+    cur = (spark.read.option('basePath', path)
+           .parquet(*(os.path.join(path, d) for d in runs)))
+    cur = cur.withColumn('run_id', F.col('run_id').cast('string'))
+    return legacy.unionByName(cur, allowMissingColumns=True)
+
+
 def read_run(spark, name, run_id, path=None, catalog='lake'):
     """One run's rows, reading only that run's files."""
     if catalog_available(spark, catalog):

@@ -175,3 +175,56 @@ class TestPartitioning:
         n, o = normal.count(), outliers.count()
         assert n + o == small_corpus.count()
         assert 0 < o <= int(0.15 * (n + o)) + 1
+
+
+@pytest.mark.spark
+class TestLegacyLayoutMigration:
+    def test_mixed_flat_and_partitioned_base_reads_and_resumes(
+            self, spark, tmp_path, small_corpus):
+        """ADVICE r03: a checkpoint base from the pre-r03 flat layout
+        (run_id as a data column in root-level part files) mixed with
+        new run_id=<id>/ partition dirs must read cleanly and resume
+        instead of failing partition discovery."""
+        from dragnet_spark.operators.extract import extract
+        from dragnet_spark.sources.checkpoint import (
+            extract_resumable, read_extracted)
+        base = str(tmp_path / 'ckpt')
+        total = small_corpus.count()
+        ids = sorted(r.doc_id for r in
+                     small_corpus.select('doc_id').collect())
+        mid = ids[total // 2]
+        half = small_corpus.where(F.col('doc_id') <= mid)
+
+        # 1. simulate a LEGACY run: flat (unpartitioned) parquet with
+        # run_id as a plain column + a hand-written manifest row, the
+        # exact on-disk shape the pre-r03 writer produced
+        legacy_run = 'legacyrun0001'
+        legacy_out = (extract(half)
+                      .withColumn('run_id', F.lit(legacy_run))
+                      .withColumn('partition_id', F.lit(0))
+                      .withColumn('_row_hash',
+                                  F.xxhash64('doc_id', 'content_text'))
+                      .withColumn('_n_blocks_kept', F.lit(0))
+                      .withColumn('_content_chars', F.lit(0)))
+        legacy_out.write.mode('append').parquet(base + '/extracted')
+        manifest = spark.createDataFrame(
+            [(legacy_run, 0, ids[0], mid, half.count(), half.count(),
+              0, 0, 0, 0, 0)],
+            'run_id string, partition_id int, doc_id_min string, '
+            'doc_id_max string, n_docs long, n_ok long, n_failed long, '
+            'n_blocks_kept long, content_chars long, wall_ms long, '
+            'content_checksum long')
+        manifest.write.mode('append').parquet(base + '/_manifest')
+
+        # 2. resume under the NEW partitioned layout over the full input
+        extract_resumable(spark, small_corpus, base, num_partitions=4)
+
+        # 3. the committed view must union both layouts: every doc
+        # exactly once, legacy rows intact
+        got = read_extracted(spark, base)
+        doc_counts = (got.groupBy('doc_id').count()
+                      .where(F.col('count') > 1).count())
+        assert doc_counts == 0
+        assert got.count() == total
+        runs = {r.run_id for r in got.select('run_id').distinct().collect()}
+        assert legacy_run in runs and len(runs) == 2
