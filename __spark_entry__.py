@@ -688,6 +688,36 @@ def q_streaming_window_counts(spark, sf_dir):
         spark.conf.set('spark.sql.session.timeZone', prev_tz)
 
 
+def q_streaming_dim_join(spark, sf_dir):
+    """Stream-static broadcast join + watermarked window agg (the
+    metrics-feed enrichment pattern): events stream joined to the
+    customer dimension on user_id = c_custkey, aggregated per (hour
+    window, market segment).  Counts and exact-decimal value sums must
+    equal the DuckDB time_bucket + join oracle."""
+    import tempfile
+    import uuid
+    from dragnet_spark.streaming.join_stream import run_stream_static_join
+    base = tempfile.mkdtemp(prefix='dim_join_q_')
+    prev_tz = spark.conf.get('spark.sql.session.timeZone')
+    spark.conf.set('spark.sql.session.timeZone', 'UTC')
+    try:
+        (spark.read.parquet(f'{sf_dir}/events.parquet')
+         .withColumn('ts', F.col('ts').cast('timestamp'))
+         .coalesce(4).write.mode('overwrite').parquet(f'{base}/src'))
+        dim = spark.read.parquet(f'{sf_dir}/customer.parquet')
+        res = run_stream_static_join(
+            spark, f'{base}/src', dim,
+            query_name='dimj_%s' % uuid.uuid4().hex[:8])
+        return res.select(
+            F.date_format(F.col('w.start'), 'yyyy-MM-dd HH:mm:ss')
+            .alias('window_start'),
+            F.col('c_mktsegment').alias('mktsegment'),
+            'n_events',
+            F.round('total_value', 2).alias('total_value'))
+    finally:
+        spark.conf.set('spark.sql.session.timeZone', prev_tz)
+
+
 def q_host_skew_salting(spark, sf_dir):
     """North-rule skew machinery, observable: ~30% of the corpus shares
     one host prefix; a plain repartition-by-host puts that share in one
@@ -904,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'css_token_flags': q_css_token_flags,
         'streaming_dedup_batch': q_streaming_dedup_batch,
         'streaming_window_counts': q_streaming_window_counts,
+        'streaming_dim_join': q_streaming_dim_join,
         'feature_importances': q_feature_importances,
         'template_mining': q_template_mining,
         'checkpoint_resume': q_checkpoint_resume,
@@ -1220,6 +1251,16 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CAST(value AS DECIMAL(18,2)))::double, 2)
                      AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        'streaming_dim_join': """
+            SELECT strftime(time_bucket(INTERVAL 1 HOUR, e.ts),
+                            '%Y-%m-%d %H:%M:%S') AS window_start,
+                   c.c_mktsegment AS mktsegment,
+                   count(*) AS n_events,
+                   round(sum(CAST(e.value AS DECIMAL(18,2)))::double, 2)
+                     AS total_value
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY 1, 2
         """,
         'checkpoint_resume': """
             SELECT count(*) AS n_committed,
