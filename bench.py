@@ -141,6 +141,69 @@ def _pinned_extraction_once(cores, sf_dir, amplification):
     raise RuntimeError('pinned run failed: %s' % proc.stderr[-2000:])
 
 
+def _python_control_once(cores, sf_dir, amplification):
+    """Pure-python multiprocessing control: the SAME synthesis+extract
+    kernel with no Spark/JVM, pinned to ``cores`` CPUs.
+
+    Measures the box's intrinsic N->4N core scaling (memory bandwidth /
+    LLC contention) -- the hardware ceiling any JVM job on this single
+    box inherits.  Recorded next to the Spark 8->32 ratio so the
+    saturated-box explanation lives in the artifact, not in prose
+    (VERDICT r03 #3).
+    """
+    import json as _json
+    import shutil
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    code = (
+        "import sys, json, time, multiprocessing as mp\n"
+        "sys.path.insert(0, %r)\n"
+        "import pyarrow.parquet as pq\n"
+        "def work(args):\n"
+        "    ids, texts, amp = args\n"
+        "    from dragnet_spark.sources.synthesis import iter_span_docs\n"
+        "    from dragnet_spark.operators.extract import (\n"
+        "        STATUS_ERROR, process_document)\n"
+        "    from dragnet_spark.model import default_model\n"
+        "    model = default_model()\n"
+        "    n = 0\n"
+        "    for sid, span_dicts in iter_span_docs(ids, texts, amp):\n"
+        "        try:\n"
+        "            _, _, status = process_document(span_dicts, model)\n"
+        "        except Exception:\n"
+        "            status = STATUS_ERROR\n"
+        "        n += status == 'ok'\n"
+        "    return n\n"
+        "if __name__ == '__main__':\n"
+        "    cores, amp = %d, %d\n"
+        "    t = pq.read_table(%r + '/documents.parquet',\n"
+        "                      columns=['doc_id', 'text'])\n"
+        "    ids = t.column('doc_id').to_pylist()\n"
+        "    texts = t.column('text').to_pylist()\n"
+        "    nch = 4 * cores\n"
+        "    chunks = [(ids[i::nch], texts[i::nch], amp)\n"
+        "              for i in range(nch)]\n"
+        "    with mp.Pool(cores) as p:\n"
+        "        p.map(work, chunks)          # warm (imports, numpy)\n"
+        "        t0 = time.time()\n"
+        "        p.map(work, chunks)\n"
+        "        dt = time.time() - t0\n"
+        "    print('RESULT ' + json.dumps(\n"
+        "        {'sec': dt, 'docs': len(ids) * amp}))\n"
+        % (repo, cores, amplification, sf_dir))
+    cmd = [sys.executable, '-c', code]
+    if shutil.which('taskset'):
+        cmd = ['taskset', '-c', '0-%d' % (cores - 1)] + cmd
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=1200)
+    for line in proc.stdout.splitlines():
+        if line.startswith('RESULT '):
+            r = _json.loads(line[len('RESULT '):])
+            return {'sec': round(r['sec'], 3), 'docs': r['docs'],
+                    'docs_per_sec': round(r['docs'] / r['sec'], 2)}
+    raise RuntimeError('control run failed: %s' % proc.stderr[-2000:])
+
+
 def _median(xs):
     s = sorted(xs)
     m = len(s) // 2
@@ -302,21 +365,46 @@ def scaling_run(sf_dir, amplification, pairs=3, max_extra_pairs=2):
     med_lo = _median([t['pinned[2]']['docs_per_sec'] for t in trials])
     med_hi = _median([t['pinned[8]']['docs_per_sec'] for t in trials])
 
-    big8 = _pinned_extraction_once(8, sf_dir, amp_big)
-    big32 = _pinned_extraction_once(32, sf_dir, amp_big)
+    # 8 -> 32: same paired fresh-JVM median protocol (VERDICT r03 #3 --
+    # r03 recorded a single attempt per level).  No retry window: this
+    # pair saturates the box by design and its honest value sits below
+    # the 2->8 band; the control below is the calibration.
+    def one_pair_8_32():
+        lo = _pinned_extraction_once(8, sf_dir, amp_big)
+        hi = _pinned_extraction_once(32, sf_dir, amp_big)
+        return {'pinned[8]': lo, 'pinned[32]': hi,
+                'efficiency': round(
+                    hi['docs_per_sec'] / (4.0 * lo['docs_per_sec']), 4)}
+
+    trials32 = [one_pair_8_32() for _ in range(pairs)]
+    effs32 = [t['efficiency'] for t in trials32]
+
+    # pure-python multiprocessing control at the same pair of levels:
+    # the box's intrinsic ceiling, in the artifact itself
+    ctl8 = _python_control_once(8, sf_dir, amp_big)
+    ctl32 = _python_control_once(32, sf_dir, amp_big)
+    control = {'python_mp[8]': ctl8, 'python_mp[32]': ctl32,
+               'efficiency': round(
+                   ctl32['docs_per_sec'] / (4.0 * ctl8['docs_per_sec']), 4)}
 
     return {
         'protocol': 'median of %d paired fresh-JVM trials'
-                    ' (+%d symmetric retries)' % (pairs, extra),
+                    ' (+%d symmetric retries); 8->32 median of %d pairs '
+                    '+ pure-python multiprocessing control'
+                    % (pairs, extra, pairs),
         'trials_2_to_8': trials,
         'pinned[2]': {'docs_per_sec': round(med_lo, 2)},
         'pinned[8]': {'docs_per_sec': round(med_hi, 2)},
-        'pinned[8]@big': big8,
-        'pinned[32]@big': big32,
+        'trials_8_to_32': trials32,
+        'pinned[8]@big': {'docs_per_sec': round(_median(
+            [t['pinned[8]']['docs_per_sec'] for t in trials32]), 2)},
+        'pinned[32]@big': {'docs_per_sec': round(_median(
+            [t['pinned[32]']['docs_per_sec'] for t in trials32]), 2)},
         'scaling_efficiency_2_to_8': round(med, 4),
         'scaling_efficiency_2_to_8_all': effs,
-        'scaling_efficiency_8_to_32': round(
-            big32['docs_per_sec'] / (4.0 * big8['docs_per_sec']), 4),
+        'scaling_efficiency_8_to_32': round(_median(effs32), 4),
+        'scaling_efficiency_8_to_32_all': effs32,
+        'control_8_to_32': control,
     }
 
 
