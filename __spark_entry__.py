@@ -222,6 +222,16 @@ def q_text_quality(spark, sf_dir):
     return quality_scores(_docs(spark, sf_dir))
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-rule pre-training quality gate (Rae et al. 2021 A1.1):
+    word-count / mean-word-length / symbol-ratio / alpha-word /
+    stop-word rules as one whole-stage-codegen projection, pass flag
+    included.  Every ratio is an int/int division so the DuckDB oracle
+    is hash-exact."""
+    from dragnet_spark.operators.text_analysis import gopher_quality_flags
+    return gopher_quality_flags(_docs(spark, sf_dir))
+
+
 def q_language_id(spark, sf_dir):
     from dragnet_spark.operators.text_analysis import language_id
     return language_id(_docs(spark, sf_dir))
@@ -914,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-checked
         'token_count': q_token_count,
         'text_quality': q_text_quality,
+        'gopher_quality': q_gopher_quality,
         'language_id': q_language_id,
         'fingerprints': q_fingerprints,
         'dedup_exact': q_dedup_exact,
@@ -993,6 +1004,48 @@ def oracle_sql() -> dict[str, str]:
                              AND length(text)::double / greatest(len({toks_l}), 1) < 12.0
                         THEN 1 ELSE 0 END AS quality_ok
             FROM documents
+        """,
+        'gopher_quality': """
+            WITH w AS (
+              SELECT doc_id, text,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 x -> x <> '') AS words
+              FROM documents
+            ), r AS (
+              SELECT doc_id,
+                     len(words) AS n_words,
+                     CAST(coalesce(list_sum(list_transform(words,
+                                                x -> length(x))), 0)
+                          AS DOUBLE)
+                       / greatest(len(words), 1) AS mean_word_len,
+                     ((length(text) - length(replace(text, '#', '')))
+                      + (length(text) - length(replace(text, '...', '')))
+                        / 3) / greatest(len(words), 1) AS symbol_ratio,
+                     CAST(len(list_filter(words,
+                              x -> regexp_matches(x, '[a-zA-Z]')))
+                          AS DOUBLE)
+                       / greatest(len(words), 1) AS alpha_word_frac,
+                     len(list_distinct(list_intersect(
+                         list_distinct(list_transform(words,
+                                                      x -> lower(x))),
+                         ['the', 'be', 'to', 'of', 'and', 'that',
+                          'have', 'with']))) AS stopword_hits
+              FROM w
+            )
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   round(mean_word_len, 6) AS mean_word_len,
+                   round(symbol_ratio, 6) AS symbol_ratio,
+                   round(alpha_word_frac, 6) AS alpha_word_frac,
+                   CAST(stopword_hits AS BIGINT) AS stopword_hits,
+                   CASE WHEN n_words >= 50 AND n_words <= 100000
+                             AND mean_word_len >= 3.0
+                             AND mean_word_len <= 10.0
+                             AND symbol_ratio <= 0.1
+                             AND alpha_word_frac >= 0.8
+                             AND stopword_hits >= 2
+                        THEN 1 ELSE 0 END AS passes
+            FROM r
         """,
         'language_id': f"""
             WITH t AS (

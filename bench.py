@@ -90,7 +90,7 @@ def run_queries(spark, sf_dir):
         'token_f1_extraction', 'minhash_near_duplicates',
         'simhash_near_duplicates', 'ann_topk_bruteforce',
         'ann_topk_quantized', 'embedding_near_duplicates',
-        'token_count', 'text_quality', 'language_id', 'dedup_exact',
+        'token_count', 'text_quality', 'gopher_quality', 'language_id', 'dedup_exact',
         'jaccard_pairs', 'pricing_summary', 'events_sessionize',
         'pdf_extract_content',
     ]

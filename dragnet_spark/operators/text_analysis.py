@@ -68,6 +68,71 @@ def quality_scores(df, text_col='text'):
     )
 
 
+GOPHER_STOPWORDS = ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def gopher_quality_flags(df, text_col='text'):
+    """Gopher-rule document filter (Rae et al. 2021, arXiv:2112.11446
+    Appendix A1.1 -- the canonical pre-training quality gate), as pure
+    column expressions:
+
+    * word count in [50, 100k], mean word length in [3, 10]
+    * symbol-to-word ratio (``#`` / ``...``) <= 0.1
+    * >= 80% of words contain an alphabetic character
+    * >= 2 distinct Gopher stop words present
+
+    Words here are whitespace-split (Gopher's definition), unlike the
+    punctuation-split ``tokens_col`` the other analyzers use.  Every
+    ratio is an int/int division, so the DuckDB oracle reproduces the
+    doubles bit-exactly; ``passes`` is the conjunction, computed
+    identically both sides.  At 10^12 docs this is one narrow
+    whole-stage-codegen projection -- no shuffle, no Python.
+    """
+    text = F.col(text_col)
+    words = F.array_remove(F.split(F.trim(text), '\\s+'), '')
+    n_words = F.size(words)
+    sum_word_len = F.aggregate(
+        F.transform(words, F.length), F.lit(0), lambda a, x: a + x)
+    mean_word_len = (sum_word_len.cast('double')
+                     / F.greatest(n_words, F.lit(1)).cast('double'))
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit('#')))
+    n_ellipsis = (F.length(text)
+                  - F.length(F.replace(text, F.lit('...')))) / 3
+    symbol_ratio = ((n_hash + n_ellipsis).cast('double')
+                    / F.greatest(n_words, F.lit(1)).cast('double'))
+    alpha_words = F.size(F.filter(
+        words, lambda w: w.rlike('[A-Za-z]')))
+    alpha_frac = (alpha_words.cast('double')
+                  / F.greatest(n_words, F.lit(1)).cast('double'))
+    lower_words = F.array_distinct(F.transform(words, F.lower))
+    stop_hits = F.size(F.array_intersect(
+        lower_words, F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])))
+    passes = ((n_words >= GOPHER_MIN_WORDS)
+              & (n_words <= GOPHER_MAX_WORDS)
+              & (mean_word_len >= GOPHER_MIN_MEAN_WORD_LEN)
+              & (mean_word_len <= GOPHER_MAX_MEAN_WORD_LEN)
+              & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+              & (alpha_frac >= GOPHER_MIN_ALPHA_WORD_FRAC)
+              & (stop_hits >= GOPHER_MIN_STOPWORD_HITS))
+    return df.select(
+        'doc_id',
+        n_words.cast('long').alias('n_words'),
+        F.round(mean_word_len, 6).alias('mean_word_len'),
+        F.round(symbol_ratio, 6).alias('symbol_ratio'),
+        F.round(alpha_frac, 6).alias('alpha_word_frac'),
+        stop_hits.cast('long').alias('stopword_hits'),
+        # 0/1 rather than boolean so the oracle hash is dtype-stable
+        passes.cast('long').alias('passes'),
+    )
+
+
 def language_id(df, text_col='text'):
     """Stopword + CJK-ratio language heuristic over (en, de, fr, es, zh).
 

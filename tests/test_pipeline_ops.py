@@ -466,3 +466,43 @@ class TestIvfScanPrePrune:
         for line in plan.splitlines():
             if 'Exchange hashpartitioning' in line:
                 assert 'query_id' in line, line
+
+
+@pytest.mark.spark
+class TestGopherQuality:
+    def test_rules_on_edge_documents(self, spark):
+        from dragnet_spark.operators.text_analysis import (
+            GOPHER_MIN_WORDS, gopher_quality_flags)
+        good = ('the quick brown fox jumps over that lazy dog and runs '
+                'away with great speed to be seen of all ') * 5
+        rows = [
+            ('good', good),                       # passes every rule
+            ('short', 'the cat and that dog'),    # < 50 words
+            ('symbols', ('#tag ' * 30) + ('the of and that be with ok '
+                                          * 10)),  # symbol ratio > 0.1
+            ('numeric', ' '.join(str(i) for i in range(80))
+             + ' the of'),                        # alpha frac < 0.8
+            ('nostops', 'lorem ipsum dolor sit amet ' * 20),  # no stops
+            ('empty', ''),
+        ]
+        df = spark.createDataFrame(rows, 'doc_id string, text string')
+        got = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+        assert got['good'].passes == 1, got['good']
+        assert got['short'].passes == 0
+        assert got['short'].n_words < GOPHER_MIN_WORDS
+        assert got['symbols'].passes == 0
+        assert got['symbols'].symbol_ratio > 0.1
+        assert got['numeric'].passes == 0
+        assert got['numeric'].alpha_word_frac < 0.8
+        assert got['nostops'].passes == 0
+        assert got['nostops'].stopword_hits == 0
+        assert got['empty'].n_words == 0 and got['empty'].passes == 0
+
+    def test_single_projection_no_shuffle(self, spark):
+        from dragnet_spark.operators.text_analysis import (
+            gopher_quality_flags)
+        df = spark.read.parquet(
+            '/root/testdata/sf0.001/documents.parquet')
+        plan = (gopher_quality_flags(df)._jdf.queryExecution()
+                .executedPlan().toString())
+        assert 'Exchange' not in plan
