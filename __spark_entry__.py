@@ -222,6 +222,22 @@ def q_text_quality(spark, sf_dir):
     return quality_scores(_docs(spark, sf_dir))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """The full dedup decision table at pipeline shape: documents plus
+    planted exact copies (doc_id + 10^6, same text), MinHash-LSH pairs,
+    DataFrame-only connected components, one row per doc with
+    (cluster_id, is_canonical) -- WHERE is_canonical = 1 is the
+    deduplicated corpus.  Rows-only (MinHash is not SQL-expressible);
+    cluster structure pinned in tests/test_pipeline_ops.py."""
+    from dragnet_spark.operators.dedup import duplicate_cluster_assignments
+    docs = _docs(spark, sf_dir).select('doc_id', 'text')
+    planted = docs.unionByName(
+        docs.select((F.col('doc_id') + F.lit(1_000_000)).alias('doc_id'),
+                    'text'))
+    return (duplicate_cluster_assignments(planted, threshold=0.9)
+            .orderBy('doc_id'))
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher-rule pre-training quality gate (Rae et al. 2021 A1.1):
     word-count / mean-word-length / symbol-ratio / alpha-word /
@@ -925,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'token_count': q_token_count,
         'text_quality': q_text_quality,
         'gopher_quality': q_gopher_quality,
+        'dedup_clusters': q_dedup_clusters,
         'language_id': q_language_id,
         'fingerprints': q_fingerprints,
         'dedup_exact': q_dedup_exact,

@@ -318,3 +318,39 @@ def simhash_near_duplicates(df, text_col='text', bucket_cap=BUCKET_CAP):
     hamming = F.bit_count(F.col('sig_a').bitwiseXOR(F.col('sig_b')))
     return (joined.select('doc_a', 'doc_b', hamming.alias('hamming'))
             .where(F.col('hamming') <= 3))
+
+
+# -- cluster assignment (the keep/drop decision table) ----------------------
+
+
+def duplicate_cluster_assignments(df, text_col='text', id_col='doc_id',
+                                  threshold=0.9, max_rounds=24):
+    """Near-duplicate CLUSTER assignment: one row per document with its
+    cluster id and the keep/drop decision.
+
+    ``(doc_id, cluster_id, is_canonical)`` -- pairs from MinHash-LSH
+    (:func:`minhash_near_duplicates`) feed DataFrame-only connected
+    components (:func:`~dragnet_spark.operators.components.
+    propagate_min_labels`); the cluster id is the component's minimum
+    doc id and exactly that member is canonical (``is_canonical = 1``),
+    so ``WHERE is_canonical = 1`` IS the deduplicated corpus.  Pair
+    volume is linear (chain caps) and the components step is O(log
+    diameter) joins -- no doc-level data on the driver at any point,
+    the full pipeline a 10^12-doc dedup pass runs.
+    """
+    from .components import propagate_min_labels
+
+    pairs = minhash_near_duplicates(df, text_col=text_col,
+                                    threshold=threshold)
+    labels, converged = propagate_min_labels(
+        df.select(F.col(id_col).alias('doc_id')), pairs,
+        id_col='doc_id', src_col='doc_a', dst_col='doc_b',
+        max_rounds=max_rounds)
+    out = labels.select(
+        F.col('doc_id').alias(id_col),
+        F.col('label').alias('cluster_id'),
+        (F.col('doc_id') == F.col('label')).cast('long')
+        .alias('is_canonical'))
+    if not converged:
+        out = out.withColumn('converged', F.lit(False))
+    return out

@@ -506,3 +506,28 @@ class TestGopherQuality:
         plan = (gopher_quality_flags(df)._jdf.queryExecution()
                 .executedPlan().toString())
         assert 'Exchange' not in plan
+
+
+@pytest.mark.spark
+class TestDuplicateClusters:
+    def test_assignment_table_with_planted_copies(self, spark):
+        from dragnet_spark.operators.dedup import (
+            duplicate_cluster_assignments)
+        base = [(i, 'document number %d with enough distinct words to '
+                    'shingle cleanly across the minhash bands %d' % (i, i))
+                for i in range(1, 21)]
+        rows = base + [(i + 1000, t) for i, t in base]  # exact copies
+        docs = spark.createDataFrame(rows, 'doc_id long, text string')
+        out = duplicate_cluster_assignments(docs, threshold=0.9)
+        got = out.collect()
+        assert len(got) == 40
+        by_doc = {r.doc_id: r for r in got}
+        for i in range(1, 21):
+            # copy clusters with its original; the original is canonical
+            assert by_doc[i].cluster_id == i
+            assert by_doc[i + 1000].cluster_id == i
+            assert by_doc[i].is_canonical == 1
+            assert by_doc[i + 1000].is_canonical == 0
+        kept = [r.doc_id for r in got if r.is_canonical == 1]
+        assert sorted(kept) == list(range(1, 21))
+        assert 'converged' not in out.columns  # converged run
