@@ -238,6 +238,23 @@ def q_dedup_clusters(spark, sf_dir):
             .orderBy('doc_id'))
 
 
+def q_duplicated_passages(spark, sf_dir):
+    """Passage-level exact dedup (Lee et al. 2022 bounded to 20-token
+    n-grams): every passage in >= 2 distinct docs with document
+    frequency and occurrence counts, over documents plus planted
+    copies.  One codegen projection -> explode -> hash-groupBy; fully
+    SQL-expressible, hash-checked."""
+    from dragnet_spark.operators.dedup import duplicated_passages
+    docs = _docs(spark, sf_dir).select('doc_id', 'text')
+    planted = docs.unionByName(
+        docs.where(F.col('doc_id') % 4 == 0)
+        .select((F.col('doc_id') + F.lit(1_000_000)).alias('doc_id'),
+                'text'))
+    return (duplicated_passages(planted)
+            .select('passage_sig', 'n_docs', 'n_occurrences',
+                    'first_doc_id'))
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher-rule pre-training quality gate (Rae et al. 2021 A1.1):
     word-count / mean-word-length / symbol-ratio / alpha-word /
@@ -942,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'text_quality': q_text_quality,
         'gopher_quality': q_gopher_quality,
         'dedup_clusters': q_dedup_clusters,
+        'duplicated_passages': q_duplicated_passages,
         'language_id': q_language_id,
         'fingerprints': q_fingerprints,
         'dedup_exact': q_dedup_exact,
@@ -1021,6 +1039,28 @@ def oracle_sql() -> dict[str, str]:
                              AND length(text)::double / greatest(len({toks_l}), 1) < 12.0
                         THEN 1 ELSE 0 END AS quality_ok
             FROM documents
+        """,
+        'duplicated_passages': f"""
+            WITH planted AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+              WHERE doc_id % 4 = 0
+            ), t AS (
+              SELECT doc_id, {_TOKS.format(src='text')} AS toks
+              FROM planted
+            ), g AS (
+              SELECT doc_id,
+                     array_to_string(toks[i + 1:i + 20], ' ') AS passage
+              FROM t, unnest(range(greatest(len(toks) - 19, 0))) AS u(i)
+            )
+            SELECT md5(passage) AS passage_sig,
+                   count(DISTINCT doc_id) AS n_docs,
+                   count(*) AS n_occurrences,
+                   min(doc_id) AS first_doc_id
+            FROM g
+            GROUP BY 1
+            HAVING count(DISTINCT doc_id) >= 2
         """,
         'gopher_quality': """
             WITH w AS (

@@ -354,3 +354,47 @@ def duplicate_cluster_assignments(df, text_col='text', id_col='doc_id',
     if not converged:
         out = out.withColumn('converged', F.lit(False))
     return out
+
+
+# -- passage-level exact dedup ----------------------------------------------
+
+
+PASSAGE_NGRAM = 20
+
+
+def duplicated_passages(df, text_col='text', id_col='doc_id',
+                        n=PASSAGE_NGRAM, min_docs=2):
+    """Exact duplicated-passage mining (the Lee et al. 2022
+    "Deduplicating Training Data" problem, arXiv:2107.06499, bounded to
+    fixed-length token n-grams): every ``n``-token passage appearing in
+    >= ``min_docs`` distinct documents, with its document frequency and
+    total occurrence count.
+
+    Plan: one JVM-side projection builds each doc's n-gram array
+    (``transform(sequence(...), slice(...))`` -- whole-stage codegen,
+    no Python), one explode, one hash-groupBy.  Shuffle volume is
+    O(total tokens) rows of (16-byte md5, doc_id) -- the linear-scan
+    shape Lee et al.'s suffix-array approach also pays, without the
+    global sort.  Downstream, cutting every passage with
+    ``n_docs > 1`` from non-canonical docs is a broadcast-able join
+    when the duplicated-passage table is small (it usually is: chrome
+    and licenses), else a shuffle join on the hash.
+    """
+    toks = tokens_col(F.col(text_col))  # same pattern as the inline SQL
+    grams = F.when(
+        F.size(toks) >= n,
+        F.expr("transform(sequence(0, size({t}) - {n}), "
+               "i -> array_join(slice({t}, i + 1, {n}), ' '))"
+               .format(t="array_remove(split(%s, '[^a-zA-Z0-9]+'), '')"
+                       % text_col, n=n))
+    ).otherwise(F.array())
+    exploded = (df.select(F.col(id_col).alias('_id'),
+                          F.explode(grams).alias('passage')))
+    return (exploded
+            .groupBy('passage')
+            .agg(F.countDistinct('_id').alias('n_docs'),
+                 F.count('*').alias('n_occurrences'),
+                 F.min('_id').alias('first_doc_id'))
+            .where(F.col('n_docs') >= min_docs)
+            .select(F.md5(F.col('passage').cast('binary')).alias('passage_sig'),
+                    'passage', 'n_docs', 'n_occurrences', 'first_doc_id'))

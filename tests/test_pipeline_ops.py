@@ -531,3 +531,34 @@ class TestDuplicateClusters:
         kept = [r.doc_id for r in got if r.is_canonical == 1]
         assert sorted(kept) == list(range(1, 21))
         assert 'converged' not in out.columns  # converged run
+
+
+@pytest.mark.spark
+class TestDuplicatedPassages:
+    def test_counts_and_min_docs_filter(self, spark):
+        from dragnet_spark.operators.dedup import duplicated_passages
+        shared = 'one two three four five'
+        rows = [(1, shared + ' unique tail alpha'),
+                (2, shared + ' unique tail beta'),
+                (3, shared + ' ' + shared),     # repeats within one doc
+                (4, 'totally different words here again'),
+                (5, 'shorty')]                  # < n tokens: no grams
+        df = spark.createDataFrame(rows, 'doc_id long, text string')
+        out = {r.passage: r for r in duplicated_passages(df, n=5).collect()}
+        assert shared in out
+        r = out[shared]
+        assert r.n_docs == 3
+        # doc3 contains the 5-gram at offsets 0 and 5 -> 4 occurrences
+        assert r.n_occurrences == 4
+        assert r.first_doc_id == 1
+        # passages private to one doc are filtered by min_docs
+        assert all(v.n_docs >= 2 for v in out.values())
+
+    def test_projection_explode_groupby_shape(self, spark):
+        from dragnet_spark.operators.dedup import duplicated_passages
+        df = spark.read.parquet('/root/testdata/sf0.001/documents.parquet')
+        plan = (duplicated_passages(df)._jdf.queryExecution()
+                .executedPlan().toString())
+        # exactly one aggregation exchange, no Python stage
+        assert plan.count('Exchange hashpartitioning') <= 2  # partial+final
+        assert 'Python' not in plan and 'ArrowEval' not in plan
