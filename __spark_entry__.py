@@ -265,6 +265,15 @@ def q_gopher_quality(spark, sf_dir):
     return gopher_quality_flags(_docs(spark, sf_dir))
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher repetition gate: top-2-gram and duplicated-10-gram
+    character fractions per document (occurrence-weighted variant,
+    defined identically in the oracle) with the pass flag."""
+    from dragnet_spark.operators.text_analysis import (
+        gopher_repetition_flags)
+    return gopher_repetition_flags(_docs(spark, sf_dir))
+
+
 def q_language_id(spark, sf_dir):
     from dragnet_spark.operators.text_analysis import language_id
     return language_id(_docs(spark, sf_dir))
@@ -958,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'token_count': q_token_count,
         'text_quality': q_text_quality,
         'gopher_quality': q_gopher_quality,
+        'gopher_repetition': q_gopher_repetition,
         'dedup_clusters': q_dedup_clusters,
         'duplicated_passages': q_duplicated_passages,
         'language_id': q_language_id,
@@ -1103,6 +1113,50 @@ def oracle_sql() -> dict[str, str]:
                              AND stopword_hits >= 2
                         THEN 1 ELSE 0 END AS passes
             FROM r
+        """,
+        'gopher_repetition': f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS_L.format(src='text')} AS toks
+              FROM documents
+            ), b AS (
+              SELECT doc_id,
+                     length(array_to_string(toks, ' ')) AS chars,
+                     toks
+              FROM t
+            ), g2 AS (
+              SELECT doc_id,
+                     array_to_string(toks[i + 1:i + 2], ' ') AS g
+              FROM b, unnest(range(greatest(len(toks) - 1, 0))) AS u(i)
+            ), g2c AS (
+              SELECT doc_id, g, count(*) AS n FROM g2 GROUP BY 1, 2
+            ), top2 AS (
+              SELECT doc_id, max(length(g) * n) AS top2 FROM g2c
+              GROUP BY 1
+            ), g10 AS (
+              SELECT doc_id,
+                     array_to_string(toks[i + 1:i + 10], ' ') AS g
+              FROM b, unnest(range(greatest(len(toks) - 9, 0))) AS u(i)
+            ), g10c AS (
+              SELECT doc_id, g, count(*) AS n FROM g10 GROUP BY 1, 2
+            ), dup10 AS (
+              SELECT doc_id, sum(length(g) * n) AS dup10 FROM g10c
+              WHERE n > 1 GROUP BY 1
+            )
+            SELECT b.doc_id,
+                   round(CAST(coalesce(top2.top2, 0) AS DOUBLE)
+                         / greatest(b.chars, 1), 6)
+                     AS top_2gram_char_frac,
+                   round(CAST(coalesce(dup10.dup10, 0) AS DOUBLE)
+                         / greatest(b.chars, 1), 6)
+                     AS dup_10gram_char_frac,
+                   CASE WHEN CAST(coalesce(top2.top2, 0) AS DOUBLE)
+                             / greatest(b.chars, 1) <= 0.20
+                             AND CAST(coalesce(dup10.dup10, 0) AS DOUBLE)
+                             / greatest(b.chars, 1) <= 0.10
+                        THEN 1 ELSE 0 END AS passes_repetition
+            FROM b
+            LEFT JOIN top2 USING (doc_id)
+            LEFT JOIN dup10 USING (doc_id)
         """,
         'language_id': f"""
             WITH t AS (

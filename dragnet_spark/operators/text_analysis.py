@@ -133,6 +133,72 @@ def gopher_quality_flags(df, text_col='text'):
     )
 
 
+GOPHER_MAX_TOP2GRAM_FRAC = 0.20
+GOPHER_MAX_DUP10GRAM_FRAC = 0.10
+
+
+def gopher_repetition_flags(df, text_col='text'):
+    """Gopher repetition rules (Rae et al. 2021 A1.1, the other half of
+    the quality gate): documents dominated by a repeated phrase are
+    SEO/boilerplate spam.
+
+    * ``top_2gram_char_frac`` -- characters of the most frequent 2-gram
+      (length x occurrences) over the document's token characters;
+      gate <= 0.20.
+    * ``dup_10gram_char_frac`` -- characters covered by 10-grams that
+      occur more than once (length x occurrences summed over duplicated
+      grams -- occurrence-weighted, a documented simplification of the
+      paper's positional coverage; overlaps count per occurrence) over
+      token characters; gate <= 0.10.
+
+    Tokens are lowercased punctuation-split (``tokens_col``) and the
+    character base is ``len(array_join(tokens, ' '))``, identically in
+    the DuckDB oracle, so both fractions hash-match bit-exactly.
+
+    Plan: one n-gram projection + explode per rule, a (doc_id, gram)
+    partial-aggregated groupBy, then a per-doc max/sum -- two shuffle
+    rounds keyed by doc_id, no Python.  At 10^12 docs this is the same
+    O(total tokens) shuffle class as passage mining.
+    """
+    t = "array_remove(split(lower(%s), '[^a-z0-9]+'), '')" % text_col
+    base = df.select(
+        'doc_id',
+        F.expr('length(array_join(%s, \' \'))' % t).alias('_chars'),
+        F.expr("CASE WHEN size({t}) >= 2 THEN transform("
+               "sequence(0, size({t}) - 2), "
+               "i -> array_join(slice({t}, i + 1, 2), ' ')) "
+               "ELSE array() END".format(t=t)).alias('_g2'),
+        F.expr("CASE WHEN size({t}) >= 10 THEN transform("
+               "sequence(0, size({t}) - 10), "
+               "i -> array_join(slice({t}, i + 1, 10), ' ')) "
+               "ELSE array() END".format(t=t)).alias('_g10'))
+
+    g2 = (base.select('doc_id', '_chars', F.explode('_g2').alias('g'))
+          .groupBy('doc_id', '_chars', 'g').agg(F.count('*').alias('n'))
+          .groupBy('doc_id', '_chars')
+          .agg(F.max(F.length('g') * F.col('n')).alias('_top2')))
+    g10 = (base.select('doc_id', F.explode('_g10').alias('g'))
+           .groupBy('doc_id', 'g').agg(F.count('*').alias('n'))
+           .where(F.col('n') > 1)
+           .groupBy('doc_id')
+           .agg(F.sum(F.length('g') * F.col('n')).alias('_dup10')))
+
+    out = (base.select('doc_id', '_chars')
+           .join(g2.select('doc_id', '_top2'), 'doc_id', 'left')
+           .join(g10, 'doc_id', 'left'))
+    top2 = (F.coalesce('_top2', F.lit(0)).cast('double')
+            / F.greatest('_chars', F.lit(1)).cast('double'))
+    dup10 = (F.coalesce('_dup10', F.lit(0)).cast('double')
+             / F.greatest('_chars', F.lit(1)).cast('double'))
+    passes = ((top2 <= GOPHER_MAX_TOP2GRAM_FRAC)
+              & (dup10 <= GOPHER_MAX_DUP10GRAM_FRAC))
+    return out.select(
+        'doc_id',
+        F.round(top2, 6).alias('top_2gram_char_frac'),
+        F.round(dup10, 6).alias('dup_10gram_char_frac'),
+        passes.cast('long').alias('passes_repetition'))
+
+
 def language_id(df, text_col='text'):
     """Stopword + CJK-ratio language heuristic over (en, de, fr, es, zh).
 

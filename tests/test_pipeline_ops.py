@@ -562,3 +562,27 @@ class TestDuplicatedPassages:
         # exactly one aggregation exchange, no Python stage
         assert plan.count('Exchange hashpartitioning') <= 2  # partial+final
         assert 'Python' not in plan and 'ArrowEval' not in plan
+
+
+@pytest.mark.spark
+class TestGopherRepetition:
+    def test_spam_vs_clean(self, spark):
+        from dragnet_spark.operators.text_analysis import (
+            gopher_repetition_flags)
+        spam = 'buy now ' * 50                      # one 2-gram is the doc
+        dup10 = ('alpha beta gamma delta epsilon zeta eta theta iota '
+                 'kappa ') * 3 + 'unique closing words here'
+        clean = ' '.join('word%d' % i for i in range(60))
+        df = spark.createDataFrame(
+            [(1, spam), (2, dup10), (3, clean), (4, '')],
+            'doc_id long, text string')
+        got = {r.doc_id: r for r in
+               gopher_repetition_flags(df).collect()}
+        assert got[1].top_2gram_char_frac > 0.5
+        assert got[1].passes_repetition == 0
+        assert got[2].dup_10gram_char_frac > 0.1
+        assert got[2].passes_repetition == 0
+        assert got[3].top_2gram_char_frac < 0.2
+        assert got[3].dup_10gram_char_frac == 0.0
+        assert got[3].passes_repetition == 1
+        assert got[4].passes_repetition == 1  # empty: nothing repeated
