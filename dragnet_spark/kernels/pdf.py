@@ -282,6 +282,84 @@ def _decode_hex(raw: bytes) -> str:
     return b.decode('latin-1')
 
 
+_FILTER_RE = re.compile(rb'/Filter\s*(?:\[([^\]]*)\]|/([A-Za-z0-9]+))')
+
+
+def _ascii_hex_decode(data: bytes) -> bytes:
+    body = data.split(b'>', 1)[0]
+    h = re.sub(rb'\s+', b'', body)
+    if len(h) % 2:
+        h += b'0'
+    return bytes.fromhex(h.decode('ascii'))
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """PDF LZWDecode (ISO 32000 7.4.4: TIFF-style LZW, MSB-first,
+    9->12-bit codes, clear=256, EOD=257, EarlyChange=1)."""
+    out = bytearray()
+    table = {i: bytes([i]) for i in range(256)}
+    next_code = 258
+    bitlen = 9
+    prev = None
+    buf = nbits = 0
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= bitlen:
+            nbits -= bitlen
+            code = (buf >> nbits) & ((1 << bitlen) - 1)
+            if code == 256:
+                table = {i: bytes([i]) for i in range(256)}
+                next_code, bitlen, prev = 258, 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+                if next_code < 4096:
+                    table[next_code] = prev + entry[:1]
+                    next_code += 1
+            elif code == next_code and next_code < 4096:
+                entry = prev + prev[:1]
+                table[next_code] = entry
+                next_code += 1
+            else:
+                raise ValueError('corrupt LZW code %d' % code)
+            # EarlyChange=1: widen one code before the table fills
+            if next_code >= (1 << bitlen) - 1 and bitlen < 12:
+                bitlen += 1
+            out += entry
+            prev = entry
+    return bytes(out)
+
+
+def _decode_stream(head: bytes, raw: bytes):
+    """Apply the object's /Filter chain (single name or array, in
+    order).  Supported: FlateDecode, LZWDecode, ASCIIHexDecode; an
+    unsupported filter or a decode error returns None (the object is
+    skipped, contained -- never fatal)."""
+    m = _FILTER_RE.search(head)
+    if not m:
+        return raw
+    names = (re.findall(rb'/([A-Za-z0-9]+)', m.group(1))
+             if m.group(1) is not None else [m.group(2)])
+    for name in names:
+        try:
+            if name == b'FlateDecode':
+                raw = zlib.decompress(raw)
+            elif name == b'LZWDecode':
+                raw = _lzw_decode(raw)
+            elif name == b'ASCIIHexDecode':
+                raw = _ascii_hex_decode(raw)
+            else:
+                return None
+        except Exception:
+            return None
+    return raw
+
+
 def _expand_object_streams(dicts, streams):
     """PDF 1.5 compressed object streams (/Type /ObjStm): inflate each
     one, parse the N (objnum, offset) header pairs, and register the
@@ -293,11 +371,9 @@ def _expand_object_streams(dicts, streams):
         fm = _OBJSTM_FIRST_RE.search(dicts[num])
         if raw is None or not nm or not fm:
             continue
-        if b'/FlateDecode' in dicts[num]:
-            try:
-                raw = zlib.decompress(raw)
-            except zlib.error:
-                continue
+        raw = _decode_stream(dicts[num], raw)
+        if raw is None:
+            continue
         n_objs, first = int(nm.group(1)), int(fm.group(1))
         try:
             header = raw[:first].split()
@@ -364,11 +440,9 @@ def _page_content_streams(data: bytes):
             raw = streams.get(cnum)
             if raw is None:
                 continue
-            if b'/FlateDecode' in dicts.get(cnum, b''):
-                try:
-                    raw = zlib.decompress(raw)
-                except zlib.error:
-                    continue
+            raw = _decode_stream(dicts.get(cnum, b''), raw)
+            if raw is None:
+                continue
             parts.append(raw)
         if not parts:
             continue

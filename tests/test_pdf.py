@@ -334,3 +334,99 @@ class TestAdversarialFixtures:
                b'5 0 obj\n<< /Type /ObjStm /N 9 /First 400 /Length 4 '
                b'>>\nstream\nabcd\nendstream\nendobj\n')
         assert extract_text_runs(doc) == []
+
+
+def _lzw_encode(data):
+    """Greedy TIFF-style LZW encoder (test fixture only): clear code,
+    longest-match emission, EarlyChange=1 bit widening, EOD."""
+    out_codes = [(256, 9)]
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    bitlen = 9
+    i = 0
+    while i < len(data):
+        j = i + 1
+        while j <= len(data) and data[i:j] in table:
+            j += 1
+        emit = data[i:j - 1] if data[i:j] not in table else data[i:j]
+        out_codes.append((table[emit], bitlen))
+        if j <= len(data):
+            table[data[i:j]] = next_code
+            next_code += 1
+            # the decoder's table lags one entry behind; EarlyChange=1
+            # is its compensation, so the encoder widens at 2^w (the
+            # natural can't-assign point), one code later than the
+            # decoder's 2^w - 1
+            if next_code >= (1 << bitlen) and bitlen < 12:
+                bitlen += 1
+            if next_code >= 4094:   # table nearly full: restart
+                out_codes.append((256, bitlen))
+                table = {bytes([k]): k for k in range(256)}
+                next_code, bitlen = 258, 9
+        i += len(emit)
+    out_codes.append((257, bitlen))
+    buf = nbits = 0
+    out = bytearray()
+    for code, bl in out_codes:
+        buf = (buf << bl) | code
+        nbits += bl
+        while nbits >= 8:
+            nbits -= 8
+            out.append((buf >> nbits) & 0xFF)
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+class TestStreamFilters:
+    PAYLOAD = (b'BT /F1 11 Tf 1 0 0 1 72 700 Tm (filter says hello '
+               b'hello hello) Tj ET')
+
+    def _doc(self, filt, enc):
+        return (
+            b'%PDF-1.4\n'
+            b'1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n'
+            b'2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n'
+            b'3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n'
+            b'endobj\n'
+            + (b'4 0 obj\n<< /Length %d /Filter %s >>\nstream\n'
+               % (len(enc), filt))
+            + enc + b'\nendstream\nendobj\n')
+
+    def test_lzw_kernel_roundtrip(self):
+        from dragnet_spark.kernels.pdf import _lzw_decode
+        for payload in (b'', b'a', b'aaaaaaaaaaaaaaaa', self.PAYLOAD,
+                        bytes(range(256)) * 40,
+                        b'tobeornottobeortobeornot' * 100):
+            assert _lzw_decode(_lzw_encode(payload)) == payload
+
+    def test_lzw_filtered_content_stream(self):
+        from dragnet_spark.kernels.pdf import extract_text_runs
+        doc = self._doc(b'/LZWDecode', _lzw_encode(self.PAYLOAD))
+        runs = extract_text_runs(doc)
+        assert [r['text'] for r in runs] == ['filter says hello '
+                                             'hello hello']
+
+    def test_ascii_hex_and_chained_filters(self):
+        from dragnet_spark.kernels.pdf import extract_text_runs
+        import zlib as _z
+        hex_enc = self.PAYLOAD.hex().upper().encode() + b'>'
+        doc = self._doc(b'/ASCIIHexDecode', hex_enc)
+        assert [r['text'] for r in extract_text_runs(doc)] \
+            == ['filter says hello hello hello']
+        # chain: Flate THEN hex-armored (decoders run in array order:
+        # ASCIIHex first, then Flate)
+        chained = _z.compress(self.PAYLOAD).hex().encode() + b'>'
+        doc2 = self._doc(b'[/ASCIIHexDecode /FlateDecode]', chained)
+        assert [r['text'] for r in extract_text_runs(doc2)] \
+            == ['filter says hello hello hello']
+
+    def test_unknown_filter_contained(self):
+        from dragnet_spark.kernels.pdf import extract_text_runs
+        doc = self._doc(b'/JBIG2Decode', b'\x00\x01\x02')
+        assert extract_text_runs(doc) == []
+
+    def test_corrupt_lzw_contained(self):
+        from dragnet_spark.kernels.pdf import extract_text_runs
+        doc = self._doc(b'/LZWDecode', b'\xff\xff\xff\xff')
+        assert extract_text_runs(doc) == []
