@@ -586,3 +586,52 @@ class TestGopherRepetition:
         assert got[3].dup_10gram_char_frac == 0.0
         assert got[3].passes_repetition == 1
         assert got[4].passes_repetition == 1  # empty: nothing repeated
+
+
+@pytest.mark.spark
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_exchange(self, spark, tmp_path):
+        """The co-located-join claim, plan-asserted: bucketed tables
+        joined on the bucket key read bucket-aligned with ZERO Exchange
+        on either side; the same join on plain tables shuffles both."""
+        from dragnet_spark.plans.bucketing import (bucketed_equi_join,
+                                                   write_bucketed)
+        spark.conf.set('spark.sql.autoBroadcastJoinThreshold', '-1')
+        try:
+            docs = spark.read.parquet(
+                '/root/testdata/sf0.001/documents.parquet')
+            emb = (spark.read.parquet(
+                '/root/testdata/sf0.001/embeddings.parquet')
+                .withColumnRenamed('vec_id', 'doc_id'))
+            write_bucketed(docs, 'b_docs', num_buckets=8)
+            write_bucketed(emb, 'b_emb', num_buckets=8)
+            joined = bucketed_equi_join(spark, 'b_docs', 'b_emb')
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert 'Exchange' not in plan, plan
+            assert 'SelectedBucketsCount' in plan or 'Bucketed: true' \
+                in plan, plan
+            n = joined.count()
+            plain = docs.join(emb, 'doc_id')
+            plain_plan = (plain._jdf.queryExecution().executedPlan()
+                          .toString())
+            assert 'Exchange' in plain_plan  # the cost bucketing removes
+            assert n == plain.count() > 0
+        finally:
+            spark.conf.set('spark.sql.autoBroadcastJoinThreshold',
+                           '10485760')
+            spark.sql('DROP TABLE IF EXISTS b_docs')
+            spark.sql('DROP TABLE IF EXISTS b_emb')
+
+    def test_bucketed_aggregation_no_exchange(self, spark, tmp_path):
+        from dragnet_spark.plans.bucketing import write_bucketed
+        import pyspark.sql.functions as F2
+        docs = spark.read.parquet(
+            '/root/testdata/sf0.001/documents.parquet')
+        try:
+            write_bucketed(docs, 'b_docs2', num_buckets=8)
+            agg = (spark.table('b_docs2').groupBy('doc_id')
+                   .agg(F2.count('*').alias('n')))
+            plan = agg._jdf.queryExecution().executedPlan().toString()
+            assert 'Exchange' not in plan, plan
+        finally:
+            spark.sql('DROP TABLE IF EXISTS b_docs2')
