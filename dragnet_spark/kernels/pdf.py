@@ -1,19 +1,26 @@
 """Minimal PDF text + layout kernel (north rule: "PDF/layout parse").
 
 No PDF library ships in this container, so this implements the subset
-of PDF 1.4 (public ISO 32000 spec) that page-oriented text documents
+of PDF (public ISO 32000 spec) that page-oriented text documents
 actually use, from scratch:
 
 * :func:`make_pdf` -- deterministic writer: Helvetica text positioned
   with ``Tm``/``Td``, one FlateDecoded content stream per page, correct
   xref table.  It is the test/bench fixture generator AND the living
-  specification of what the parser supports.
+  specification of the writer-side conventions.
 * :func:`extract_text_runs` -- parser: finds ``N 0 obj .. endobj``
-  objects, inflates ``/FlateDecode`` streams (stdlib zlib), and
-  interprets the text operators ``BT ET Tf Td TD Tm T* TL Tj TJ ' "``
-  into positioned runs ``(page, x, y, size, text)``.  Literal strings
-  handle the ``\\`` escapes and octal codes; hex strings are decoded as
-  latin-1 (the writer's WinAnsi subset).
+  objects linearly (no xref dependence; free entries and xref streams
+  are simply skipped), expands PDF 1.5 compressed object streams
+  (``/Type /ObjStm``), decodes ``/Filter`` chains (Flate, LZW with
+  EarlyChange, ASCIIHex -- ``_decode_stream``; unknown filters skip the
+  object, contained), handles ``/Contents`` arrays (streams concatenate
+  per ISO 32000 7.8.2), and interprets the text operators
+  ``BT ET Tf Td TD Tm T* TL Tj TJ ' "`` into positioned runs
+  ``(page, x, y, size, text, page_h)`` -- ``page_h`` from each page's
+  /MediaBox (inherited from the /Pages root).  Literal strings handle
+  the ``\\`` escapes and octal codes; hex strings are decoded as
+  latin-1 (the writer's WinAnsi subset).  Unsupported constructs are
+  skipped, never fatal.
 * :func:`layout_blocks` -- layout analysis: runs -> lines (shared
   baseline within half the font size) -> blocks (split on vertical gaps
   > 1.8x the dominant leading or font-size changes), top-down reading
@@ -21,7 +28,13 @@ actually use, from scratch:
 * :func:`strip_repeated_furniture` -- the layout de-chroming step:
   blocks whose normalized text recurs at the same position on most
   pages (running headers/footers, page numbers ``Page N`` normalized)
-  are boilerplate, the PDF analogue of dragnet's DOM chrome.
+  are boilerplate, the PDF analogue of dragnet's DOM chrome.  Both
+  strippers zone against each block's own page height, so A4/letter
+  mixes de-chrome correctly.
+
+Still out of scope (documented, contained): cross-reference streams as
+a *lookup* structure (unnecessary -- the scan is linear), non-text
+filters (DCT/JBIG2/CCITT images), CID/composite fonts, encryption.
 
 Scale shape: everything here is a pure per-document kernel -- the Spark
 operator (``operators/pdf_extract.py``) maps it over Arrow batches of
