@@ -770,6 +770,38 @@ def q_streaming_dim_join(spark, sf_dir):
         spark.conf.set('spark.sql.session.timeZone', prev_tz)
 
 
+def q_streaming_sessions(spark, sf_dir):
+    """Streaming sessionization (session_window): per-user gap-closed
+    sessions with counts and exact-decimal value sums; session bounds
+    and membership must equal the DuckDB gaps-and-islands oracle.
+    Boundary semantics (pinned by test): an event at exactly
+    prev_ts + gap still MERGES (session_window extends through its
+    end), so the oracle breaks only on strictly-greater gaps."""
+    import tempfile
+    import uuid
+    from dragnet_spark.streaming.session_stream import run_session_windows
+    base = tempfile.mkdtemp(prefix='sess_stream_q_')
+    prev_tz = spark.conf.get('spark.sql.session.timeZone')
+    spark.conf.set('spark.sql.session.timeZone', 'UTC')
+    try:
+        (spark.read.parquet(f'{sf_dir}/events.parquet')
+         .withColumn('ts', F.col('ts').cast('timestamp'))
+         .coalesce(4).write.mode('overwrite').parquet(f'{base}/src'))
+        res = run_session_windows(
+            spark, f'{base}/src',
+            query_name='sessq_%s' % uuid.uuid4().hex[:8])
+        return res.select(
+            'user_id',
+            F.date_format(F.col('w.start'), 'yyyy-MM-dd HH:mm:ss')
+            .alias('session_start'),
+            F.date_format(F.col('w.end'), 'yyyy-MM-dd HH:mm:ss')
+            .alias('session_end'),
+            'n_events',
+            F.round('total_value', 2).alias('total_value'))
+    finally:
+        spark.conf.set('spark.sql.session.timeZone', prev_tz)
+
+
 def q_host_skew_salting(spark, sf_dir):
     """North-rule skew machinery, observable: ~30% of the corpus shares
     one host prefix; a plain repartition-by-host puts that share in one
@@ -991,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'streaming_dedup_batch': q_streaming_dedup_batch,
         'streaming_window_counts': q_streaming_window_counts,
         'streaming_dim_join': q_streaming_dim_join,
+        'streaming_sessions': q_streaming_sessions,
         'feature_importances': q_feature_importances,
         'template_mining': q_template_mining,
         'checkpoint_resume': q_checkpoint_resume,
@@ -1415,6 +1448,32 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CAST(value AS DECIMAL(18,2)))::double, 2)
                      AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        'streaming_sessions': """
+            WITH m AS (
+              SELECT user_id, ts, value, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts > lag(ts) OVER w
+                                        + INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), g AS (
+              SELECT user_id, ts, value,
+                     sum(brk) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m
+            )
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S')
+                     AS session_start,
+                   strftime(max(ts) + INTERVAL 30 MINUTE,
+                            '%Y-%m-%d %H:%M:%S') AS session_end,
+                   count(*) AS n_events,
+                   round(sum(CAST(value AS DECIMAL(18,2)))::double, 2)
+                     AS total_value
+            FROM g GROUP BY user_id, sid
         """,
         'streaming_dim_join': """
             SELECT strftime(time_bucket(INTERVAL 1 HOUR, e.ts),

@@ -304,3 +304,34 @@ class TestStreamStaticJoin:
             F2.broadcast(dim), stream_df.user_id == dim.c_custkey)
         plan = joined._jdf.queryExecution().executedPlan().toString()
         assert 'BroadcastHashJoin' in plan
+
+
+@pytest.mark.spark
+class TestStreamingSessions:
+    def test_gap_semantics_exact_boundary_starts_new_session(
+            self, spark, tmp_path):
+        from dragnet_spark.streaming.session_stream import (
+            run_session_windows)
+        src = str(tmp_path / 'sess_src')
+        rows = [
+            (1, '2024-01-01 00:00:00', 7, 'click', 1.0),
+            (2, '2024-01-01 00:10:00', 7, 'click', 1.0),   # same session
+            (3, '2024-01-01 00:40:00', 7, 'click', 1.0),   # exactly +30m
+            (4, '2024-01-01 02:00:00', 7, 'click', 1.0),   # new session
+            (5, '2024-01-01 00:05:00', 8, 'view', 2.5),    # other user
+        ]
+        (spark.createDataFrame(rows, 'event_id long, ts string, '
+                               'user_id long, event_type string, '
+                               'value double')
+         .withColumn('ts', F.col('ts').cast('timestamp'))
+         .withColumn('props', F.lit('{}'))
+         .write.parquet(src))
+        out = run_session_windows(spark, src, query_name='tsess1')
+        sess = sorted(((r.user_id, r.w.start.hour, r.w.start.minute,
+                        r.n_events) for r in out.collect()))
+        # boundary semantics: the event at EXACTLY prev_ts + gap
+        # (00:40 = 00:10 + 30m) MERGES into the session -- Spark
+        # extends the window through its end -- so user 7 has sessions
+        # {00:00, 00:10, 00:40} and {02:00}; the oracle mirrors this
+        # with a strictly-greater gap break
+        assert sess == [(7, 0, 0, 3), (7, 2, 0, 1), (8, 0, 5, 1)]
