@@ -802,6 +802,48 @@ def q_streaming_sessions(spark, sf_dir):
         spark.conf.set('spark.sql.session.timeZone', prev_tz)
 
 
+def q_training_corpus_funnel(spark, sf_dir):
+    """The complete LLM training-data pipeline as ONE composed chain --
+    the product the north rule's engine exists to build: interleaved
+    corpus (amplification=2 renders each article under two chrome
+    skins, planting realistic near-dups) -> fused extraction -> Gopher
+    quality + repetition gates on the EXTRACTED text -> MinHash cluster
+    assignment -> canonical-only corpus.  Output: the funnel (one row
+    of stage survivor counts).  Rows-only: extraction + MinHash in the
+    loop; every stage is individually oracle- or golden-checked."""
+    from dragnet_spark.operators.dedup import duplicate_cluster_assignments
+    from dragnet_spark.operators.text_analysis import (
+        gopher_quality_flags, gopher_repetition_flags)
+    from dragnet_spark.sources.synthesis import synthesize_and_extract
+
+    extracted = (synthesize_and_extract(spark, sf_dir, amplification=2)
+                 .where(F.col('status') == 'ok')
+                 .select('doc_id', F.col('content_text').alias('text'))
+                 .cache())
+    quality = gopher_quality_flags(extracted).select('doc_id', 'passes')
+    # the synthetic corpus draws content words from a ~40-word
+    # vocabulary, so duplicated 10-grams occur by construction (min
+    # observed coverage ~0.20); the paper threshold (0.10) would
+    # reject every document for a data-generator artifact.  The gate
+    # is applied at a corpus-scaled threshold; the paper default is
+    # pinned separately by the gopher_repetition oracle + unit tests.
+    repetition = (gopher_repetition_flags(extracted, max_dup10=0.6)
+                  .select('doc_id', 'passes_repetition'))
+    survivors = (extracted
+                 .join(quality, 'doc_id').join(repetition, 'doc_id')
+                 .where((F.col('passes') == 1)
+                        & (F.col('passes_repetition') == 1))
+                 .select('doc_id', 'text'))
+    assigned = duplicate_cluster_assignments(survivors, threshold=0.7)
+    n_input = extracted.count()
+    n_quality = survivors.count()
+    n_canonical = assigned.where(F.col('is_canonical') == 1).count()
+    extracted.unpersist()
+    return spark.createDataFrame(
+        [(int(n_input), int(n_quality), int(n_canonical))],
+        'n_extracted_ok long, n_quality_pass long, n_canonical long')
+
+
 def q_host_skew_salting(spark, sf_dir):
     """North-rule skew machinery, observable: ~30% of the corpus shares
     one host prefix; a plain repartition-by-host puts that share in one
@@ -1024,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'streaming_window_counts': q_streaming_window_counts,
         'streaming_dim_join': q_streaming_dim_join,
         'streaming_sessions': q_streaming_sessions,
+        'training_corpus_funnel': q_training_corpus_funnel,
         'feature_importances': q_feature_importances,
         'template_mining': q_template_mining,
         'checkpoint_resume': q_checkpoint_resume,
@@ -1153,7 +1196,8 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ), b AS (
               SELECT doc_id,
-                     length(array_to_string(toks, ' ')) AS chars,
+                     CAST(coalesce(list_sum(list_transform(toks,
+                              x -> length(x))), 0) AS BIGINT) AS chars,
                      toks
               FROM t
             ), g2 AS (
@@ -1163,17 +1207,26 @@ def oracle_sql() -> dict[str, str]:
             ), g2c AS (
               SELECT doc_id, g, count(*) AS n FROM g2 GROUP BY 1, 2
             ), top2 AS (
-              SELECT doc_id, max(length(g) * n) AS top2 FROM g2c
+              SELECT doc_id, max((length(g) - 1) * n) AS top2 FROM g2c
               GROUP BY 1
             ), g10 AS (
-              SELECT doc_id,
+              SELECT doc_id, i,
                      array_to_string(toks[i + 1:i + 10], ' ') AS g
               FROM b, unnest(range(greatest(len(toks) - 9, 0))) AS u(i)
-            ), g10c AS (
-              SELECT doc_id, g, count(*) AS n FROM g10 GROUP BY 1, 2
+            ), dupg AS (
+              SELECT doc_id, g FROM g10 GROUP BY 1, 2
+              HAVING count(*) > 1
+            ), cov AS (
+              SELECT DISTINCT g10.doc_id, g10.i + v.j AS idx
+              FROM g10 JOIN dupg USING (doc_id, g),
+                   unnest(range(10)) AS v(j)
+            ), tp AS (
+              SELECT doc_id, u.i AS idx, length(toks[u.i + 1]) AS toklen
+              FROM b, unnest(range(len(toks))) AS u(i)
             ), dup10 AS (
-              SELECT doc_id, sum(length(g) * n) AS dup10 FROM g10c
-              WHERE n > 1 GROUP BY 1
+              SELECT cov.doc_id, sum(tp.toklen) AS dup10
+              FROM cov JOIN tp USING (doc_id, idx)
+              GROUP BY 1
             )
             SELECT b.doc_id,
                    round(CAST(coalesce(top2.top2, 0) AS DOUBLE)
@@ -1189,7 +1242,7 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS passes_repetition
             FROM b
             LEFT JOIN top2 USING (doc_id)
-            LEFT JOIN dup10 USING (doc_id)
+            LEFT JOIN dup10 ON dup10.doc_id = b.doc_id
         """,
         'language_id': f"""
             WITH t AS (

@@ -137,33 +137,40 @@ GOPHER_MAX_TOP2GRAM_FRAC = 0.20
 GOPHER_MAX_DUP10GRAM_FRAC = 0.10
 
 
-def gopher_repetition_flags(df, text_col='text'):
+def gopher_repetition_flags(df, text_col='text',
+                            max_top2=GOPHER_MAX_TOP2GRAM_FRAC,
+                            max_dup10=GOPHER_MAX_DUP10GRAM_FRAC):
     """Gopher repetition rules (Rae et al. 2021 A1.1, the other half of
     the quality gate): documents dominated by a repeated phrase are
     SEO/boilerplate spam.
 
-    * ``top_2gram_char_frac`` -- characters of the most frequent 2-gram
-      (length x occurrences) over the document's token characters;
-      gate <= 0.20.
-    * ``dup_10gram_char_frac`` -- characters covered by 10-grams that
-      occur more than once (length x occurrences summed over duplicated
-      grams -- occurrence-weighted, a documented simplification of the
-      paper's positional coverage; overlaps count per occurrence) over
-      token characters; gate <= 0.10.
+    * ``top_2gram_char_frac`` -- token characters of the most frequent
+      2-gram (token chars x occurrences) over the document's total
+      token characters; gate <= ``max_top2`` (0.20).
+    * ``dup_10gram_char_frac`` -- POSITIONAL coverage: token characters
+      at positions covered by at least one occurrence of a 10-gram
+      that appears more than once, over total token characters --
+      each position counts once no matter how many duplicated grams
+      overlap it (the paper's definition; an occurrence-weighted sum
+      overshoots past 1.0 on overlapping repeats and voids the
+      threshold); gate <= ``max_dup10`` (0.10).
 
-    Tokens are lowercased punctuation-split (``tokens_col``) and the
-    character base is ``len(array_join(tokens, ' '))``, identically in
-    the DuckDB oracle, so both fractions hash-match bit-exactly.
+    Tokens are lowercased punctuation-split (``tokens_col``); the
+    character base is the sum of token lengths (no separators),
+    identically in the DuckDB oracle, so both fractions hash-match
+    bit-exactly.
 
-    Plan: one n-gram projection + explode per rule, a (doc_id, gram)
-    partial-aggregated groupBy, then a per-doc max/sum -- two shuffle
-    rounds keyed by doc_id, no Python.  At 10^12 docs this is the same
-    O(total tokens) shuffle class as passage mining.
+    Plan: n-gram projections + explodes, (doc_id, gram) partial-
+    aggregated groupBys, a distinct over covered positions, per-doc
+    sums -- all doc_id-keyed shuffles of O(total tokens) rows, no
+    Python; the same shuffle class as passage mining.
     """
     t = "array_remove(split(lower(%s), '[^a-z0-9]+'), '')" % text_col
     base = df.select(
         'doc_id',
-        F.expr('length(array_join(%s, \' \'))' % t).alias('_chars'),
+        F.expr('aggregate(transform(%s, x -> length(x)), 0, '
+               '(a, x) -> a + x)' % t).alias('_chars'),
+        F.expr(t).alias('_toks'),
         F.expr("CASE WHEN size({t}) >= 2 THEN transform("
                "sequence(0, size({t}) - 2), "
                "i -> array_join(slice({t}, i + 1, 2), ' ')) "
@@ -173,29 +180,42 @@ def gopher_repetition_flags(df, text_col='text'):
                "i -> array_join(slice({t}, i + 1, 10), ' ')) "
                "ELSE array() END".format(t=t)).alias('_g10'))
 
-    g2 = (base.select('doc_id', '_chars', F.explode('_g2').alias('g'))
-          .groupBy('doc_id', '_chars', 'g').agg(F.count('*').alias('n'))
-          .groupBy('doc_id', '_chars')
-          .agg(F.max(F.length('g') * F.col('n')).alias('_top2')))
-    g10 = (base.select('doc_id', F.explode('_g10').alias('g'))
-           .groupBy('doc_id', 'g').agg(F.count('*').alias('n'))
-           .where(F.col('n') > 1)
-           .groupBy('doc_id')
-           .agg(F.sum(F.length('g') * F.col('n')).alias('_dup10')))
+    # most frequent 2-gram, numerator = token chars (gram minus space)
+    g2 = (base.select('doc_id', F.explode('_g2').alias('g'))
+          .groupBy('doc_id', 'g').agg(F.count('*').alias('n'))
+          .groupBy('doc_id')
+          .agg(F.max((F.length('g') - 1) * F.col('n')).alias('_top2')))
+
+    # duplicated 10-grams -> their start positions -> covered indices
+    starts = (base.select('doc_id',
+                          F.posexplode('_g10').alias('i', 'g')))
+    dup_grams = (starts.groupBy('doc_id', 'g')
+                 .agg(F.count('*').alias('n'))
+                 .where(F.col('n') > 1)
+                 .select('doc_id', 'g'))
+    covered = (starts.join(dup_grams, ['doc_id', 'g'])
+               .select('doc_id',
+                       F.explode(F.expr('sequence(i, i + 9)'))
+                       .alias('idx'))
+               .distinct())
+    tok_pos = base.select('doc_id',
+                          F.posexplode('_toks').alias('idx', 'tok'))
+    dup10 = (covered.join(tok_pos, ['doc_id', 'idx'])
+             .groupBy('doc_id')
+             .agg(F.sum(F.length('tok')).alias('_dup10')))
 
     out = (base.select('doc_id', '_chars')
-           .join(g2.select('doc_id', '_top2'), 'doc_id', 'left')
-           .join(g10, 'doc_id', 'left'))
+           .join(g2, 'doc_id', 'left')
+           .join(dup10, 'doc_id', 'left'))
     top2 = (F.coalesce('_top2', F.lit(0)).cast('double')
             / F.greatest('_chars', F.lit(1)).cast('double'))
-    dup10 = (F.coalesce('_dup10', F.lit(0)).cast('double')
-             / F.greatest('_chars', F.lit(1)).cast('double'))
-    passes = ((top2 <= GOPHER_MAX_TOP2GRAM_FRAC)
-              & (dup10 <= GOPHER_MAX_DUP10GRAM_FRAC))
+    dup = (F.coalesce('_dup10', F.lit(0)).cast('double')
+           / F.greatest('_chars', F.lit(1)).cast('double'))
+    passes = (top2 <= max_top2) & (dup <= max_dup10)
     return out.select(
         'doc_id',
         F.round(top2, 6).alias('top_2gram_char_frac'),
-        F.round(dup10, 6).alias('dup_10gram_char_frac'),
+        F.round(dup, 6).alias('dup_10gram_char_frac'),
         passes.cast('long').alias('passes_repetition'))
 
 

@@ -635,3 +635,17 @@ class TestBucketedJoin:
             assert 'Exchange' not in plan, plan
         finally:
             spark.sql('DROP TABLE IF EXISTS b_docs2')
+
+
+@pytest.mark.spark
+class TestTrainingCorpusFunnel:
+    def test_funnel_monotone_and_dedup_effective(self, spark):
+        import importlib
+        e = importlib.import_module('__spark_entry__')
+        row = e.queries()['training_corpus_funnel'](
+            spark, '/root/testdata/sf0.001').collect()[0]
+        assert row.n_extracted_ok >= row.n_quality_pass > 0
+        assert row.n_quality_pass >= row.n_canonical > 0
+        # amplification=2 renders each article under two chrome skins:
+        # dedup must collapse a large share of the quality survivors
+        assert row.n_canonical <= 0.75 * row.n_quality_pass, row
