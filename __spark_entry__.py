@@ -844,6 +844,16 @@ def q_training_corpus_funnel(spark, sf_dir):
         'n_extracted_ok long, n_quality_pass long, n_canonical long')
 
 
+def q_events_props_json(spark, sf_dir):
+    """Semi-structured payload parsing: events.props JSON parsed
+    JVM-side (from_json, whole-stage codegen -- no Python) and the k
+    field aggregated per event_type; missing/corrupt payloads counted
+    as n_missing, never dropped."""
+    from dragnet_spark.operators.semistructured import json_props_stats
+    return json_props_stats(
+        spark.read.parquet(f'{sf_dir}/events.parquet'))
+
+
 def q_host_skew_salting(spark, sf_dir):
     """North-rule skew machinery, observable: ~30% of the corpus shares
     one host prefix; a plain repartition-by-host puts that share in one
@@ -1067,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'streaming_dim_join': q_streaming_dim_join,
         'streaming_sessions': q_streaming_sessions,
         'training_corpus_funnel': q_training_corpus_funnel,
+        'events_props_json': q_events_props_json,
         'feature_importances': q_feature_importances,
         'template_mining': q_template_mining,
         'checkpoint_resume': q_checkpoint_resume,
@@ -1527,6 +1538,19 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CAST(value AS DECIMAL(18,2)))::double, 2)
                      AS total_value
             FROM g GROUP BY user_id, sid
+        """,
+        'events_props_json': """
+            SELECT event_type AS group_key,
+                   count(*) AS n_events,
+                   sum(CASE WHEN json_extract(props, '$.k') IS NULL
+                            THEN 1 ELSE 0 END) AS n_missing,
+                   sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                     AS sum_k,
+                   min(CAST(json_extract(props, '$.k') AS BIGINT))
+                     AS min_k,
+                   max(CAST(json_extract(props, '$.k') AS BIGINT))
+                     AS max_k
+            FROM events GROUP BY 1
         """,
         'streaming_dim_join': """
             SELECT strftime(time_bucket(INTERVAL 1 HOUR, e.ts),

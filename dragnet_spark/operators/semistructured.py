@@ -1,0 +1,32 @@
+"""Semi-structured (JSON string) columns, JVM-side.
+
+Event streams carry loosely-typed JSON payloads (``events.props``); at
+10^12 rows the parse must stay inside whole-stage codegen --
+``from_json`` with an explicit schema, never a Python ``json.loads``
+stage.  Missing fields surface as nulls (counted, not dropped) so
+schema drift in the payload is observable instead of silent.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def json_props_stats(df, props_col='props', group_col='event_type',
+                     field='k'):
+    """Parse a JSON payload column and aggregate a numeric field per
+    group: ``(group, n_events, n_missing, sum_k, min_k, max_k)``.
+
+    ``n_missing`` counts rows whose payload parses but lacks the field
+    (or fails to parse -- ``from_json`` yields null either way); the
+    sums/extrema skip nulls, matching SQL aggregate semantics in the
+    DuckDB oracle (``events_props_json``).
+    """
+    k = F.from_json(F.col(props_col), '%s bigint' % field)[field]
+    return (df
+            .groupBy(F.col(group_col).alias('group_key'))
+            .agg(F.count('*').alias('n_events'),
+                 F.sum(k.isNull().cast('long')).alias('n_missing'),
+                 F.sum(k).alias('sum_k'),
+                 F.min(k).alias('min_k'),
+                 F.max(k).alias('max_k')))

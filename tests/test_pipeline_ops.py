@@ -649,3 +649,27 @@ class TestTrainingCorpusFunnel:
         # amplification=2 renders each article under two chrome skins:
         # dedup must collapse a large share of the quality survivors
         assert row.n_canonical <= 0.75 * row.n_quality_pass, row
+
+
+@pytest.mark.spark
+class TestJsonProps:
+    def test_missing_and_corrupt_counted_not_dropped(self, spark):
+        from dragnet_spark.operators.semistructured import json_props_stats
+        rows = [(1, 'a', '{"k": 5}'), (2, 'a', '{"k": 7}'),
+                (3, 'a', '{"x": 1}'),        # field missing
+                (4, 'b', 'not json at all'),  # corrupt
+                (5, 'b', None)]               # null payload
+        df = spark.createDataFrame(
+            rows, 'event_id long, event_type string, props string')
+        got = {r.group_key: r for r in json_props_stats(df).collect()}
+        assert got['a'].n_events == 3 and got['a'].n_missing == 1
+        assert got['a'].sum_k == 12 and got['a'].min_k == 5
+        assert got['b'].n_events == 2 and got['b'].n_missing == 2
+        assert got['b'].sum_k is None
+
+    def test_no_python_stage(self, spark):
+        from dragnet_spark.operators.semistructured import json_props_stats
+        df = spark.read.parquet('/root/testdata/sf0.001/events.parquet')
+        plan = (json_props_stats(df)._jdf.queryExecution()
+                .executedPlan().toString())
+        assert 'Python' not in plan and 'ArrowEval' not in plan
