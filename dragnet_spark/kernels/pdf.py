@@ -328,6 +328,8 @@ def _lzw_decode(data: bytes) -> bytes:
             if code == 257:
                 return bytes(out)
             if prev is None:
+                if code not in table:
+                    raise ValueError('corrupt LZW first code %d' % code)
                 entry = table[code]
             elif code in table:
                 entry = table[code]

@@ -430,3 +430,29 @@ class TestStreamFilters:
         from dragnet_spark.kernels.pdf import extract_text_runs
         doc = self._doc(b'/LZWDecode', b'\xff\xff\xff\xff')
         assert extract_text_runs(doc) == []
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    class TestLzwProperty:
+        @given(st.binary(max_size=5000))
+        @settings(max_examples=200, deadline=None)
+        def test_roundtrip(self, data):
+            from dragnet_spark.kernels.pdf import _lzw_decode
+            assert _lzw_decode(_lzw_encode(data)) == data
+
+        @given(st.binary(min_size=1, max_size=200))
+        @settings(max_examples=100, deadline=None)
+        def test_decoder_contained_on_garbage(self, data):
+            # arbitrary bytes fed straight to the decoder must either
+            # decode to something or raise ValueError -- never hang or
+            # raise anything else
+            from dragnet_spark.kernels.pdf import _lzw_decode
+            try:
+                _lzw_decode(data)
+            except ValueError:
+                pass
+except ImportError:  # pragma: no cover
+    pass
