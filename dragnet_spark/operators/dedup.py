@@ -363,7 +363,7 @@ PASSAGE_NGRAM = 20
 
 
 def duplicated_passages(df, text_col='text', id_col='doc_id',
-                        n=PASSAGE_NGRAM, min_docs=2):
+                        n=PASSAGE_NGRAM, min_docs=2, keep_example=False):
     """Exact duplicated-passage mining (the Lee et al. 2022
     "Deduplicating Training Data" problem, arXiv:2107.06499, bounded to
     fixed-length token n-grams): every ``n``-token passage appearing in
@@ -372,13 +372,17 @@ def duplicated_passages(df, text_col='text', id_col='doc_id',
 
     Plan: one JVM-side projection builds each doc's n-gram array
     (``transform(sequence(...), slice(...))`` -- whole-stage codegen,
-    no Python), one explode, one hash-groupBy.  Shuffle volume is
-    O(total tokens) rows of (16-byte md5, doc_id) -- the linear-scan
-    shape Lee et al.'s suffix-array approach also pays, without the
-    global sort.  Downstream, cutting every passage with
-    ``n_docs > 1`` from non-canonical docs is a broadcast-able join
-    when the duplicated-passage table is small (it usually is: chrome
-    and licenses), else a shuffle join on the hash.
+    no Python), one explode, one hash-groupBy.  The passage STRING is
+    md5'd before the shuffle, so the wide op moves O(total tokens) rows
+    of (32-byte sig, doc_id), not ~10x-bigger n-gram text -- the
+    linear-scan shape Lee et al.'s suffix-array approach also pays,
+    without the global sort.  ``keep_example=True`` additionally
+    carries a min() example passage through the aggregation (partial
+    agg dedups map-side, but the strings still ride the shuffle --
+    leave it off at corpus scale).  Downstream, cutting every passage
+    with ``n_docs > 1`` from non-canonical docs is a broadcast-able
+    join when the duplicated-passage table is small (it usually is:
+    chrome and licenses), else a shuffle join on the sig.
     """
     toks = tokens_col(F.col(text_col))  # same pattern as the inline SQL
     grams = F.when(
@@ -389,12 +393,19 @@ def duplicated_passages(df, text_col='text', id_col='doc_id',
                        % text_col, n=n))
     ).otherwise(F.array())
     exploded = (df.select(F.col(id_col).alias('_id'),
-                          F.explode(grams).alias('passage')))
-    return (exploded
-            .groupBy('passage')
-            .agg(F.countDistinct('_id').alias('n_docs'),
-                 F.count('*').alias('n_occurrences'),
-                 F.min('_id').alias('first_doc_id'))
+                          F.explode(grams).alias('passage'))
+                .select('_id', 'passage',
+                        F.md5(F.col('passage').cast('binary'))
+                        .alias('passage_sig')))
+    aggs = [F.countDistinct('_id').alias('n_docs'),
+            F.count('*').alias('n_occurrences'),
+            F.min('_id').alias('first_doc_id')]
+    cols = ['passage_sig', 'n_docs', 'n_occurrences', 'first_doc_id']
+    if keep_example:
+        aggs.append(F.min('passage').alias('passage'))
+        cols = ['passage_sig', 'passage', 'n_docs', 'n_occurrences',
+                'first_doc_id']
+    src = exploded if keep_example else exploded.drop('passage')
+    return (src.groupBy('passage_sig').agg(*aggs)
             .where(F.col('n_docs') >= min_docs)
-            .select(F.md5(F.col('passage').cast('binary')).alias('passage_sig'),
-                    'passage', 'n_docs', 'n_occurrences', 'first_doc_id'))
+            .select(*cols))

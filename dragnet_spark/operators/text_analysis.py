@@ -165,35 +165,63 @@ def gopher_repetition_flags(df, text_col='text',
     sums -- all doc_id-keyed shuffles of O(total tokens) rows, no
     Python; the same shuffle class as passage mining.
     """
-    t = "array_remove(split(lower(%s), '[^a-z0-9]+'), '')" % text_col
-    base = df.select(
+    raw = "array_remove(split(lower(%s), '[^a-z0-9]+'), '')" % text_col
+    # grams never exist as STRINGS: each n-gram is xxhash64 of its
+    # token-array slice (Spark hashes arrays structurally), so neither
+    # the projection nor any shuffle ever builds/moves n-gram text --
+    # the wide ops carry 8-byte keys.  Token char lengths ride
+    # alongside for the numerators.  A hash collision would need ~2^32
+    # distinct grams within ONE document to matter (hashes are
+    # compared per doc_id only).
+    #
+    # The explode(array(1)) Generate node is a COLLAPSE BARRIER:
+    # lambda bodies are opaque to Catalyst's subexpression elimination,
+    # so without it the tokenizer expression inlines into every lambda
+    # below (measured: 29 split() occurrences in the optimized plan --
+    # the corpus tokenized ~29x per row); behind the barrier `_toks`
+    # is a materialized attribute, tokenized once per row per branch.
+    tk = (df.select('doc_id', F.expr(raw).alias('_tk'),
+                    F.explode(F.array(F.lit(1))).alias('_b'))
+          .drop('_b'))
+    t = '_tk'
+    base = tk.select(
         'doc_id',
         F.expr('aggregate(transform(%s, x -> length(x)), 0, '
                '(a, x) -> a + x)' % t).alias('_chars'),
         F.expr(t).alias('_toks'),
         F.expr("CASE WHEN size({t}) >= 2 THEN transform("
                "sequence(0, size({t}) - 2), "
-               "i -> array_join(slice({t}, i + 1, 2), ' ')) "
-               "ELSE array() END".format(t=t)).alias('_g2'),
+               "i -> xxhash64(slice({t}, i + 1, 2))) "
+               "ELSE array() END".format(t=t)).alias('_g2h'),
+        F.expr("CASE WHEN size({t}) >= 2 THEN transform("
+               "sequence(0, size({t}) - 2), "
+               "i -> length(element_at({t}, i + 1)) "
+               "   + length(element_at({t}, i + 2))) "
+               "ELSE array() END".format(t=t)).alias('_g2len'),
         F.expr("CASE WHEN size({t}) >= 10 THEN transform("
                "sequence(0, size({t}) - 10), "
-               "i -> array_join(slice({t}, i + 1, 10), ' ')) "
-               "ELSE array() END".format(t=t)).alias('_g10'))
+               "i -> xxhash64(slice({t}, i + 1, 10))) "
+               "ELSE array() END".format(t=t)).alias('_g10h'))
 
     # most frequent 2-gram, numerator = token chars (gram minus space)
-    g2 = (base.select('doc_id', F.explode('_g2').alias('g'))
-          .groupBy('doc_id', 'g').agg(F.count('*').alias('n'))
+    g2 = (base.select('doc_id',
+                      F.explode(F.arrays_zip('_g2h', '_g2len'))
+                      .alias('z'))
+          .select('doc_id', F.col('z._g2h').alias('gh'),
+                  F.col('z._g2len').alias('glen'))
+          .groupBy('doc_id', 'gh')
+          .agg(F.count('*').alias('n'), F.max('glen').alias('glen'))
           .groupBy('doc_id')
-          .agg(F.max((F.length('g') - 1) * F.col('n')).alias('_top2')))
+          .agg(F.max(F.col('glen') * F.col('n')).alias('_top2')))
 
     # duplicated 10-grams -> their start positions -> covered indices
     starts = (base.select('doc_id',
-                          F.posexplode('_g10').alias('i', 'g')))
-    dup_grams = (starts.groupBy('doc_id', 'g')
+                          F.posexplode('_g10h').alias('i', 'gh')))
+    dup_grams = (starts.groupBy('doc_id', 'gh')
                  .agg(F.count('*').alias('n'))
                  .where(F.col('n') > 1)
-                 .select('doc_id', 'g'))
-    covered = (starts.join(dup_grams, ['doc_id', 'g'])
+                 .select('doc_id', 'gh'))
+    covered = (starts.join(dup_grams, ['doc_id', 'gh'])
                .select('doc_id',
                        F.explode(F.expr('sequence(i, i + 9)'))
                        .alias('idx'))

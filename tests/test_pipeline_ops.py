@@ -544,7 +544,8 @@ class TestDuplicatedPassages:
                 (4, 'totally different words here again'),
                 (5, 'shorty')]                  # < n tokens: no grams
         df = spark.createDataFrame(rows, 'doc_id long, text string')
-        out = {r.passage: r for r in duplicated_passages(df, n=5).collect()}
+        out = {r.passage: r for r in
+               duplicated_passages(df, n=5, keep_example=True).collect()}
         assert shared in out
         r = out[shared]
         assert r.n_docs == 3
