@@ -95,8 +95,16 @@ def gopher_quality_flags(df, text_col='text'):
     identically both sides.  At 10^12 docs this is one narrow
     whole-stage-codegen projection -- no shuffle, no Python.
     """
-    text = F.col(text_col)
-    words = F.array_remove(F.split(F.trim(text), '\\s+'), '')
+    # Generate collapse barrier (see gopher_repetition_flags): without
+    # it the whitespace-split expression inlines into every lambda and
+    # aggregate below (17 split() occurrences in the optimized plan)
+    df = (df.select('doc_id', F.col(text_col).alias('_text'),
+                    F.array_remove(F.split(F.trim(text_col), '\\s+'), '')
+                    .alias('_words'),
+                    F.explode(F.array(F.lit(1))).alias('_b'))
+          .drop('_b'))
+    text = F.col('_text')
+    words = F.col('_words')
     n_words = F.size(words)
     sum_word_len = F.aggregate(
         F.transform(words, F.length), F.lit(0), lambda a, x: a + x)
