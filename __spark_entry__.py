@@ -854,6 +854,35 @@ def q_events_props_json(spark, sf_dir):
         spark.read.parquet(f'{sf_dir}/events.parquet'))
 
 
+def q_events_props_variant(spark, sf_dir):
+    """Spark 4 VARIANT path for the same payload aggregation:
+    try_parse_json -> try_variant_get typed extraction (schema-on-read;
+    no struct re-declaration as payload fields grow).  Shares the
+    events_props_json DuckDB oracle -- both engines and both Spark
+    paths must agree."""
+    from dragnet_spark.operators.semistructured import variant_props_stats
+    return variant_props_stats(
+        spark.read.parquet(f'{sf_dir}/events.parquet'))
+
+
+def q_gold_corrected_source(spark, sf_dir):
+    """Spark 4 Python Data Source over the reference's own gold-corpus
+    directory layout: spark.read.format('gold_corrected') lists file
+    names driver-side, parses per-executor.  Runs against the
+    reference's real Corrected/ fixtures (public test data); the
+    DuckDB oracle re-reads the same files with read_text + the same
+    first-occurrence delimiter split."""
+    from dragnet_spark.sources.gold_datasource import register
+    register(spark)
+    # the utf-16 fixture is not valid UTF-8, which DuckDB's read_text
+    # refuses outright; it is excluded from the oracle pair on BOTH
+    # sides and pinned by tests/test_gold_io_features.py instead
+    return (spark.read.format('gold_corrected')
+            .load('/root/reference/test/datafiles/Corrected')
+            .where(F.col('doc_id') != 'utf-16.html')
+            .orderBy('doc_id'))
+
+
 def q_host_skew_salting(spark, sf_dir):
     """North-rule skew machinery, observable: ~30% of the corpus shares
     one host prefix; a plain repartition-by-host puts that share in one
@@ -1078,6 +1107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'streaming_sessions': q_streaming_sessions,
         'training_corpus_funnel': q_training_corpus_funnel,
         'events_props_json': q_events_props_json,
+        'events_props_variant': q_events_props_variant,
+        'gold_corrected_source': q_gold_corrected_source,
         'feature_importances': q_feature_importances,
         'template_mining': q_template_mining,
         'checkpoint_resume': q_checkpoint_resume,
@@ -1551,6 +1582,43 @@ def oracle_sql() -> dict[str, str]:
                    max(CAST(json_extract(props, '$.k') AS BIGINT))
                      AS max_k
             FROM events GROUP BY 1
+        """,
+        'events_props_variant': """
+            SELECT event_type AS group_key,
+                   count(*) AS n_events,
+                   sum(CASE WHEN json_extract(props, '$.k') IS NULL
+                            THEN 1 ELSE 0 END) AS n_missing,
+                   sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                     AS sum_k,
+                   min(CAST(json_extract(props, '$.k') AS BIGINT))
+                     AS min_k,
+                   max(CAST(json_extract(props, '$.k') AS BIGINT))
+                     AS max_k
+            FROM events GROUP BY 1
+        """,
+        'gold_corrected_source': """
+            WITH f AS (
+              SELECT regexp_replace(regexp_replace(filename, '^.*/', ''),
+                                    '\\.corrected\\.txt$', '')
+                       AS doc_id,
+                     regexp_split_to_array(content,
+                       '\\n*!@#\\$%\\^&\\*\\(\\)\\s+COMMENTS\\n*')
+                       AS parts
+              FROM (
+                SELECT filename, decode(content) AS content
+                FROM read_blob(
+                  '/root/reference/test/datafiles/Corrected/*.corrected.txt')
+                WHERE filename NOT LIKE '%utf-16%'
+              )
+            )
+            SELECT doc_id,
+                   regexp_replace(parts[1], '^\\s+|\\s+$', '', 'g')
+                     AS content_text,
+                   CASE WHEN len(parts) > 1
+                        THEN regexp_replace(parts[2],
+                                            '^\\s+|\\s+$', '', 'g')
+                        ELSE '' END AS comments_text
+            FROM f ORDER BY doc_id
         """,
         'streaming_dim_join': """
             SELECT strftime(time_bucket(INTERVAL 1 HOUR, e.ts),

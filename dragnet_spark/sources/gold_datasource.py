@@ -1,0 +1,90 @@
+"""Python Data Source (Spark 4) for the reference's gold-corpus layout.
+
+A user migrating from the reference keeps directories of
+``<fileroot>.corrected.txt`` gold files (one document each, content +
+``!@#$%^&*()  COMMENTS`` + comments -- the format
+``/root/reference/dragnet/data_processing.py:256-298`` reads).  This
+exposes such a directory as a first-class Spark table through the
+Spark 4 Python Data Source API::
+
+    from dragnet_spark.sources.gold_datasource import register
+    register(spark)
+    df = (spark.read.format('gold_corrected')
+          .load('/path/to/Corrected'))    # doc_id, content_text, comments_text
+
+Scale shape: the driver lists FILE NAMES only (bounded metadata, like
+any file index) and plans one :class:`GoldPartition` per chunk of
+files; executors open and parse their own chunk -- document text never
+touches the driver.  ``numPartitions`` (option) controls the fan-out.
+
+The per-file split logic is the same first-occurrence regex split as
+``gold_io.parse_corrected`` (its JVM twin, pinned against each other
+in tests); encoding follows the reference's utf-8-with-replacement
+read.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    InputPartition)
+
+_DELIM_RE = re.compile(r'\n*!@#\$%\^&\*\(\)\s+COMMENTS\n*')
+_SUFFIX = '.corrected.txt'
+
+SCHEMA = 'doc_id string, content_text string, comments_text string'
+
+
+def parse_corrected_text(raw: str):
+    """content/comments split, first delimiter occurrence only
+    (data_processing.py:286-289 semantics; maxsplit=1)."""
+    parts = _DELIM_RE.split(raw, maxsplit=1)
+    content = parts[0].strip()
+    comments = parts[1].strip() if len(parts) > 1 else ''
+    return content, comments
+
+
+class GoldPartition(InputPartition):
+    def __init__(self, files):
+        self.files = files
+
+
+class GoldCorrectedReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get('path')
+        if not self.path:
+            raise ValueError("gold_corrected needs a directory: "
+                             ".load('/dir') or .option('path', '/dir')")
+        self.num_partitions = int(options.get('numpartitions', 8))
+
+    def partitions(self):
+        names = sorted(n for n in os.listdir(self.path)
+                       if n.endswith(_SUFFIX))
+        n_parts = max(1, min(self.num_partitions, len(names) or 1))
+        return [GoldPartition(names[i::n_parts])
+                for i in range(n_parts)]
+
+    def read(self, partition):
+        for name in partition.files:
+            with open(os.path.join(self.path, name), 'rb') as f:
+                raw = f.read().decode('utf-8', 'replace')
+            content, comments = parse_corrected_text(raw)
+            yield (name[:-len(_SUFFIX)], content, comments)
+
+
+class GoldCorrectedDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return 'gold_corrected'
+
+    def schema(self):
+        return SCHEMA
+
+    def reader(self, schema):
+        return GoldCorrectedReader(self.options)
+
+
+def register(spark):
+    spark.dataSource.register(GoldCorrectedDataSource)

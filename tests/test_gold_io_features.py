@@ -335,3 +335,69 @@ class TestStreamingSessions:
         # {00:00, 00:10, 00:40} and {02:00}; the oracle mirrors this
         # with a strictly-greater gap break
         assert sess == [(7, 0, 0, 3), (7, 2, 0, 1), (8, 0, 5, 1)]
+
+
+@pytest.mark.spark
+class TestGoldDataSource:
+    """Spark 4 Python Data Source over the reference gold layout."""
+
+    def test_reads_reference_corrected_dir(self, spark):
+        from dragnet_spark.sources.gold_datasource import register
+        register(spark)
+        df = (spark.read.format('gold_corrected')
+              .load('/root/reference/test/datafiles/Corrected'))
+        rows = {r.doc_id: r for r in df.collect()}
+        assert len(rows) == 8
+        assert rows['page_comments.html'].comments_text.startswith(
+            'Great blog post')
+        assert rows['page_no_comments.html'].comments_text == ''
+        # the non-UTF-8 fixture reads with replacement, never raises
+        assert rows['utf-16.html'].content_text != ''
+
+    def test_partition_planning_and_option(self, spark, tmp_path):
+        from dragnet_spark.sources.gold_datasource import register
+        register(spark)
+        d = tmp_path / 'gold'
+        d.mkdir()
+        for i in range(6):
+            (d / ('doc%d.corrected.txt' % i)).write_text(
+                'content %d\n!@#$%%^&*()  COMMENTS\ncomment %d' % (i, i))
+        df = (spark.read.format('gold_corrected')
+              .option('numPartitions', 3).load(str(d)))
+        assert df.rdd.getNumPartitions() == 3
+        got = {r.doc_id: (r.content_text, r.comments_text)
+               for r in df.collect()}
+        assert got == {('doc%d' % i): ('content %d' % i, 'comment %d' % i)
+                       for i in range(6)}
+
+    def test_split_matches_jvm_twin(self, spark):
+        # the python per-file split and gold_io's JVM column split must
+        # agree on delimiter edge shapes
+        from dragnet_spark.sources.gold_datasource import (
+            parse_corrected_text)
+        from dragnet_spark.sources.gold_io import parse_corrected
+        cases = ['just content',
+                 'a\n!@#$%^&*()  COMMENTS\nb',
+                 '!@#$%^&*()\tCOMMENTS\nonly comments',
+                 'x\n!@#$%^&*()  COMMENTS\n!@#$%^&*()  COMMENTS\ny']
+        df = spark.createDataFrame(
+            [(str(i), c) for i, c in enumerate(cases)],
+            'doc_id string, corrected_text string')
+        jvm = {r.doc_id: (r.content_text, r.comments_text)
+               for r in parse_corrected(df).collect()}
+        for i, c in enumerate(cases):
+            assert parse_corrected_text(c) == jvm[str(i)], c
+
+
+@pytest.mark.spark
+class TestVariantProps:
+    def test_variant_equals_from_json_path(self, spark):
+        from dragnet_spark.operators.semistructured import (
+            json_props_stats, variant_props_stats)
+        rows = [(1, 'a', '{"k": 5}'), (2, 'a', 'broken'),
+                (3, 'b', '{"x": 2}'), (4, 'b', None)]
+        df = spark.createDataFrame(
+            rows, 'event_id long, event_type string, props string')
+        a = sorted(map(tuple, json_props_stats(df).collect()))
+        b = sorted(map(tuple, variant_props_stats(df).collect()))
+        assert a == b
