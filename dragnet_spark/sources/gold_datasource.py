@@ -29,7 +29,8 @@ import os
 import re
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    InputPartition)
+                                    DataSourceWriter, InputPartition,
+                                    WriterCommitMessage)
 
 _DELIM_RE = re.compile(r'\n*!@#\$%\^&\*\(\)\s+COMMENTS\n*')
 _SUFFIX = '.corrected.txt'
@@ -74,6 +75,41 @@ class GoldCorrectedReader(DataSourceReader):
             yield (name[:-len(_SUFFIX)], content, comments)
 
 
+_DELIM_LITERAL = '!@#$%^&*()  COMMENTS'
+
+
+class GoldWriteDone(WriterCommitMessage):
+    def __init__(self, n_files):
+        self.n_files = n_files
+
+
+class GoldCorrectedWriter(DataSourceWriter):
+    """One ``<doc_id>.corrected.txt`` per row, written by the task that
+    owns the row -- the exact inverse of the reader, so a corpus can
+    round-trip through the reference's on-disk layout.  Each file write
+    is an O(one doc) operation per executor; the driver only tallies
+    commit messages."""
+
+    def __init__(self, options):
+        self.path = options.get('path')
+        if not self.path:
+            raise ValueError("gold_corrected needs a directory: "
+                             ".save('/dir') or .option('path', '/dir')")
+
+    def write(self, iterator):
+        os.makedirs(self.path, exist_ok=True)
+        n = 0
+        for row in iterator:
+            body = row.content_text or ''
+            if row.comments_text:
+                body += '\n%s\n%s' % (_DELIM_LITERAL, row.comments_text)
+            with open(os.path.join(self.path, row.doc_id + _SUFFIX),
+                      'wb') as f:
+                f.write(body.encode('utf-8'))
+            n += 1
+        return GoldWriteDone(n)
+
+
 class GoldCorrectedDataSource(DataSource):
     @classmethod
     def name(cls):
@@ -84,6 +120,9 @@ class GoldCorrectedDataSource(DataSource):
 
     def reader(self, schema):
         return GoldCorrectedReader(self.options)
+
+    def writer(self, schema, overwrite):
+        return GoldCorrectedWriter(self.options)
 
 
 def register(spark):

@@ -370,6 +370,22 @@ class TestGoldDataSource:
         assert got == {('doc%d' % i): ('content %d' % i, 'comment %d' % i)
                        for i in range(6)}
 
+    def test_writer_round_trips(self, spark, tmp_path):
+        from dragnet_spark.sources.gold_datasource import register
+        register(spark)
+        out = str(tmp_path / 'gold_out')
+        rows = [('d1', 'main content one', 'a comment'),
+                ('d2', 'only content', ''),
+                ('d3', 'unicode ß 测试', 'ok')]
+        df = spark.createDataFrame(
+            rows, 'doc_id string, content_text string, '
+                  'comments_text string')
+        (df.write.format('gold_corrected').mode('append')
+         .option('path', out).save())
+        back = (spark.read.format('gold_corrected').load(out))
+        got = sorted(map(tuple, back.collect()))
+        assert got == sorted(rows)
+
     def test_split_matches_jvm_twin(self, spark):
         # the python per-file split and gold_io's JVM column split must
         # agree on delimiter edge shapes
