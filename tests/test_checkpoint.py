@@ -228,3 +228,45 @@ class TestLegacyLayoutMigration:
         assert got.count() == total
         runs = {r.run_id for r in got.select('run_id').distinct().collect()}
         assert legacy_run in runs and len(runs) == 2
+
+
+@pytest.mark.spark
+class TestAqeSkewJoin:
+    def test_aqe_splits_planted_skewed_join(self, spark):
+        """North-rule 'AQE-tuned shuffles', evidenced: a join where 60%
+        of the fact rows share one key must come out of AQE with the
+        skewed partition SPLIT (SortMergeJoin(skew=true) + an
+        AQEShuffleRead marked skewed in the final plan) instead of one
+        straggler task owning 60% of the data.  Complements salting
+        (plans/partitioning.py), which handles the skew AQE cannot see
+        -- cost inside opaque Python stages."""
+        confs = {
+            'spark.sql.autoBroadcastJoinThreshold': '-1',
+            'spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes':
+                '100KB',
+            'spark.sql.adaptive.skewJoin.skewedPartitionFactor': '1',
+            'spark.sql.adaptive.advisoryPartitionSizeInBytes': '100KB',
+        }
+        saved = {k: spark.conf.get(k) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            fact = spark.range(2_000_000).select(
+                F.when(F.col('id') % 10 < 6, F.lit(0))
+                .otherwise(F.col('id') % 1000).alias('k'),
+                F.sha2(F.col('id').cast('string'), 256).alias('v'))
+            dim = spark.range(1000).select(
+                F.col('id').alias('k'), (F.col('id') * 2).alias('w'))
+            agg = (fact.join(dim, 'k')
+                   .groupBy().agg(F.count('*').alias('n')))
+            # the ACTION must run this dataset's own QueryExecution --
+            # df.count() wraps a new one and the final AQE plan would
+            # not be visible here
+            assert agg.collect()[0].n == 2_000_000
+            plan = agg._jdf.queryExecution().executedPlan().toString()
+            assert 'isFinalPlan=true' in plan
+            assert 'skew=true' in plan, plan
+            assert 'skewed' in plan, plan
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
