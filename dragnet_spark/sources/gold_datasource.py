@@ -30,6 +30,7 @@ import re
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
                                     DataSourceWriter, InputPartition,
+                                    SimpleDataSourceStreamReader,
                                     WriterCommitMessage)
 
 _DELIM_RE = re.compile(r'\n*!@#\$%\^&\*\(\)\s+COMMENTS\n*')
@@ -110,6 +111,51 @@ class GoldCorrectedWriter(DataSourceWriter):
         return GoldWriteDone(n)
 
 
+class GoldCorrectedStreamReader(SimpleDataSourceStreamReader):
+    """Streaming tail of a growing gold directory: each micro-batch
+    picks up files not yet consumed; the offset is the consumed
+    file-name list, persisted in the streaming checkpoint so a
+    restarted query resumes exactly where it stopped (exactly-once
+    together with an idempotent sink).
+
+    The name-list offset is right for corpus-sized directories
+    (thousands of files of metadata, like any file-source log); a
+    10^12-file feed would ride the native file source's compacted log
+    or a table-format CDC feed instead -- documented trade-off.
+    """
+
+    def __init__(self, options):
+        self.path = options.get('path')
+        if not self.path:
+            raise ValueError('gold_corrected stream needs a directory')
+
+    def _names(self):
+        return sorted(n for n in os.listdir(self.path)
+                      if n.endswith(_SUFFIX))
+
+    @staticmethod
+    def _parse(path, name):
+        with open(os.path.join(path, name), 'rb') as f:
+            raw = f.read().decode('utf-8', 'replace')
+        content, comments = parse_corrected_text(raw)
+        return (name[:-len(_SUFFIX)], content, comments)
+
+    def initialOffset(self):
+        return {'seen': []}
+
+    def read(self, start):
+        names = self._names()
+        seen = set(start['seen'])
+        new = [n for n in names if n not in seen]
+        rows = [self._parse(self.path, n) for n in new]
+        return iter(rows), {'seen': names}
+
+    def readBetweenOffsets(self, start, end):
+        seen = set(start['seen'])
+        replay = [n for n in end['seen'] if n not in seen]
+        return iter(self._parse(self.path, n) for n in replay)
+
+
 class GoldCorrectedDataSource(DataSource):
     @classmethod
     def name(cls):
@@ -123,6 +169,9 @@ class GoldCorrectedDataSource(DataSource):
 
     def writer(self, schema, overwrite):
         return GoldCorrectedWriter(self.options)
+
+    def simpleStreamReader(self, schema):
+        return GoldCorrectedStreamReader(self.options)
 
 
 def register(spark):

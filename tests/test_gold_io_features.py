@@ -417,3 +417,40 @@ class TestVariantProps:
         a = sorted(map(tuple, json_props_stats(df).collect()))
         b = sorted(map(tuple, variant_props_stats(df).collect()))
         assert a == b
+
+
+@pytest.mark.spark
+class TestGoldStreamSource:
+    def test_incremental_pickup_across_restarts(self, spark, tmp_path):
+        """The streaming reader must consume each gold file exactly
+        once across two separate query runs sharing a checkpoint."""
+        from dragnet_spark.sources.gold_datasource import register
+        register(spark)
+        d = tmp_path / 'gold_grow'
+        d.mkdir()
+        out = str(tmp_path / 'out')
+        chk = str(tmp_path / 'chk')
+
+        def write_doc(i):
+            (d / ('doc%03d.corrected.txt' % i)).write_text(
+                'content %d\n!@#$%%^&*()  COMMENTS\nc%d' % (i, i))
+
+        def run_once():
+            q = (spark.readStream.format('gold_corrected')
+                 .option('path', str(d)).load()
+                 .writeStream.format('parquet')
+                 .option('checkpointLocation', chk)
+                 .trigger(availableNow=True)
+                 .start(out))
+            q.awaitTermination()
+
+        for i in range(3):
+            write_doc(i)
+        run_once()
+        for i in range(3, 5):
+            write_doc(i)
+        run_once()
+        got = spark.read.parquet(out)
+        ids = [r.doc_id for r in got.collect()]
+        assert sorted(ids) == ['doc%03d' % i for i in range(5)]
+        assert len(ids) == len(set(ids))  # exactly once
