@@ -92,7 +92,7 @@ def run_queries(spark, sf_dir):
         'ann_topk_quantized', 'embedding_near_duplicates',
         'token_count', 'text_quality', 'gopher_quality', 'language_id', 'dedup_exact',
         'jaccard_pairs', 'pricing_summary', 'events_sessionize',
-        'pdf_extract_content',
+        'pdf_extract_content', 'gopher_repetition', 'duplicated_passages',
     ]
     times = {}
     for name in headline:
