@@ -48,6 +48,19 @@ def parse_corrected_text(raw: str):
     return content, comments
 
 
+def _list_corrected(path):
+    """Relative paths of every ``*.corrected.txt`` under ``path``,
+    recursive and sorted -- doc_ids may carry ``host/`` prefixes, which
+    the writer lays out as subdirectories."""
+    out = []
+    for root, _dirs, names in os.walk(path):
+        rel = os.path.relpath(root, path)
+        for n in names:
+            if n.endswith(_SUFFIX):
+                out.append(n if rel == '.' else os.path.join(rel, n))
+    return sorted(out)
+
+
 class GoldPartition(InputPartition):
     def __init__(self, files):
         self.files = files
@@ -62,8 +75,7 @@ class GoldCorrectedReader(DataSourceReader):
         self.num_partitions = int(options.get('numpartitions', 8))
 
     def partitions(self):
-        names = sorted(n for n in os.listdir(self.path)
-                       if n.endswith(_SUFFIX))
+        names = _list_corrected(self.path)
         n_parts = max(1, min(self.num_partitions, len(names) or 1))
         return [GoldPartition(names[i::n_parts])
                 for i in range(n_parts)]
@@ -98,14 +110,17 @@ class GoldCorrectedWriter(DataSourceWriter):
                              ".save('/dir') or .option('path', '/dir')")
 
     def write(self, iterator):
-        os.makedirs(self.path, exist_ok=True)
         n = 0
         for row in iterator:
             body = row.content_text or ''
             if row.comments_text:
                 body += '\n%s\n%s' % (_DELIM_LITERAL, row.comments_text)
-            with open(os.path.join(self.path, row.doc_id + _SUFFIX),
-                      'wb') as f:
+            # doc_ids carry host/ prefixes ('h000/doc-...'): lay them
+            # out as subdirectories so ids round-trip verbatim through
+            # the recursive reader
+            target = os.path.join(self.path, row.doc_id + _SUFFIX)
+            os.makedirs(os.path.dirname(target), exist_ok=True)
+            with open(target, 'wb') as f:
                 f.write(body.encode('utf-8'))
             n += 1
         return GoldWriteDone(n)
@@ -130,8 +145,7 @@ class GoldCorrectedStreamReader(SimpleDataSourceStreamReader):
             raise ValueError('gold_corrected stream needs a directory')
 
     def _names(self):
-        return sorted(n for n in os.listdir(self.path)
-                      if n.endswith(_SUFFIX))
+        return _list_corrected(self.path)
 
     @staticmethod
     def _parse(path, name):

@@ -454,3 +454,22 @@ class TestGoldStreamSource:
         ids = [r.doc_id for r in got.collect()]
         assert sorted(ids) == ['doc%03d' % i for i in range(5)]
         assert len(ids) == len(set(ids))  # exactly once
+
+    def test_slashed_doc_ids_round_trip_as_subdirs(self, spark, tmp_path):
+        # the corpus convention is doc_id = 'host/doc-...': the writer
+        # must lay hosts out as subdirectories and the recursive reader
+        # must reassemble the exact ids
+        from dragnet_spark.sources.gold_datasource import register
+        register(spark)
+        out = str(tmp_path / 'gold_hosts')
+        rows = [('h000/doc-1', 'alpha', 'c1'),
+                ('h001/doc-2', 'beta', ''),
+                ('flat-doc', 'gamma', 'c3')]
+        df = spark.createDataFrame(
+            rows, 'doc_id string, content_text string, '
+                  'comments_text string')
+        (df.write.format('gold_corrected').mode('append')
+         .option('path', out).save())
+        back = sorted(map(tuple, spark.read.format('gold_corrected')
+                          .load(out).collect()))
+        assert back == sorted(rows)
