@@ -205,3 +205,56 @@ def test_fused_synthesize_and_extract_equivalent(spark):
     one = {r.doc_id: (r.content_text, r.status)
            for r in synthesize_and_extract(spark, sf).collect()}
     assert one == two
+
+
+@pytest.mark.spark
+class TestHostileSpans:
+    """The library-API containment contract (verify surface 2): hand-
+    built hostile spans must come back as status rows -- never a
+    PythonException task abort -- and media/unknown-kind spans must
+    reappear verbatim in order."""
+
+    def test_hostile_inputs_all_contained(self, spark):
+        import dragnet_spark
+        deep = ('<div>' * 600) + 'needle in the deep' + ('</div>' * 600)
+        big = ('<p>' + ('large body word ' * 7000) + '</p>\n') * 10  # >1 MB, multi-block
+        rows = [
+            ('nulls', [{'kind': 'text', 'text': None,
+                        'media_ref': None, 'offset': 0}]),
+            ('null_kind', [{'kind': None, 'text': '<p>x</p>',
+                            'media_ref': None, 'offset': 0}]),
+            ('dup_neg_offsets', [
+                {'kind': 'text', 'text': '<p>b second</p>',
+                 'media_ref': None, 'offset': -5},
+                {'kind': 'text', 'text': '<p>a first</p>',
+                 'media_ref': None, 'offset': -5},
+                {'kind': 'text', 'text': '<p>tail</p>',
+                 'media_ref': None, 'offset': 2}]),
+            ('unknown_kind', [
+                {'kind': 'hologram', 'text': None,
+                 'media_ref': 'holo://1', 'offset': 0},
+                {'kind': 'text', 'text': '<p>body text here now '
+                 'with enough words to survive</p>', 'media_ref': None,
+                 'offset': 1}]),
+            ('deep_nesting', [{'kind': 'text', 'text': deep,
+                               'media_ref': None, 'offset': 0}]),
+            ('megabyte_doc', [{'kind': 'text', 'text': big,
+                               'media_ref': None, 'offset': 0}]),
+            ('empty', []),
+        ]
+        df = spark.createDataFrame(
+            rows, 'doc_id string, spans array<struct<kind:string,'
+                  'text:string,media_ref:string,offset:int>>')
+        out = {r.doc_id: r for r in
+               dragnet_spark.extract_content(df).collect()}
+        allowed = {'ok', 'too_few_blocks', 'blockify_error', 'error'}
+        assert len(out) == len(rows)
+        assert {r.status for r in out.values()} <= allowed
+        # unknown-kind span reappears verbatim, in order
+        uk = [s for s in out['unknown_kind'].spans
+              if s['kind'] == 'hologram']
+        assert len(uk) == 1 and uk[0]['media_ref'] == 'holo://1'
+        # the giant doc and the deep doc both produced real output
+        assert out['megabyte_doc'].status == 'ok'
+        assert 'large body word' in out['megabyte_doc'].content_text
+        assert out['deep_nesting'].status in allowed
