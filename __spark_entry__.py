@@ -883,6 +883,25 @@ def q_gold_corrected_source(spark, sf_dir):
             .orderBy('doc_id'))
 
 
+def q_sample_deterministic(spark, sf_dir):
+    """Reproducible 10% corpus sample: md5(doc_id)-prefix bucket
+    comparison, identical membership on every engine/run/partitioning
+    (unlike sample()); one narrow filter, no shuffle."""
+    from dragnet_spark.operators.text_analysis import deterministic_sample
+    return (deterministic_sample(_docs(spark, sf_dir), 0.1)
+            .select('doc_id', 'lang'))
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Per-language deterministic rebalancing (downsample the head,
+    keep the tail): en 50%, de 25%, zh 10%; same md5-prefix rule per
+    stratum, shuffle-free."""
+    from dragnet_spark.operators.text_analysis import stratified_sample
+    return (stratified_sample(_docs(spark, sf_dir),
+                              {'en': 0.5, 'de': 0.25, 'zh': 0.1})
+            .select('doc_id', 'lang'))
+
+
 def q_host_skew_salting(spark, sf_dir):
     """North-rule skew machinery, observable: ~30% of the corpus shares
     one host prefix; a plain repartition-by-host puts that share in one
@@ -1109,6 +1128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_props_json': q_events_props_json,
         'events_props_variant': q_events_props_variant,
         'gold_corrected_source': q_gold_corrected_source,
+        'sample_deterministic': q_sample_deterministic,
+        'sample_stratified': q_sample_stratified,
         'feature_importances': q_feature_importances,
         'template_mining': q_template_mining,
         'checkpoint_resume': q_checkpoint_resume,
@@ -1619,6 +1640,19 @@ def oracle_sql() -> dict[str, str]:
                                             '^\\s+|\\s+$', '', 'g')
                         ELSE '' END AS comments_text
             FROM f ORDER BY doc_id
+        """,
+        'sample_deterministic': """
+            SELECT doc_id, lang FROM documents
+            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+        """,
+        'sample_stratified': """
+            SELECT doc_id, lang FROM documents
+            WHERE (lang = 'en' AND
+                   substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
+               OR (lang = 'de' AND
+                   substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000')
+               OR (lang = 'zh' AND
+                   substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999')
         """,
         'streaming_dim_join': """
             SELECT strftime(time_bucket(INTERVAL 1 HOUR, e.ts),

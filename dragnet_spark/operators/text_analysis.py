@@ -296,3 +296,50 @@ def fingerprints(df, text_col='text'):
         F.md5(F.col(text_col)).alias('content_sig'),
         F.md5(F.array_join(toks, ' ')).alias('tokenset_sig'),
     )
+
+
+# -- deterministic sampling (reproducible corpus splits) --------------------
+
+
+def _md5_bucket(key_col, digits=4):
+    """Lexicographic md5-prefix bucket: stable across engines, runs and
+    partitionings (unlike sample(), which is seed- and split-dependent).
+    ``digits`` hex chars give 16^digits buckets."""
+    return F.substring(F.md5(key_col.cast('string').cast('binary')),
+                       1, digits)
+
+
+def _frac_threshold(frac, digits=4):
+    space = 16 ** digits
+    n = int(frac * space)
+    if n >= space:
+        # every hex char sorts below 'g': frac >= 1 keeps all rows
+        # (a 5-digit '10000' would compare lexicographically BELOW
+        # most 4-char buckets and silently keep ~6%)
+        return 'g'
+    return format(max(n, 0), '0%dx' % digits)
+
+
+def deterministic_sample(df, frac, key_col='doc_id'):
+    """Keep ~``frac`` of rows, chosen by md5(key) prefix comparison --
+    the same documents are selected on every engine, run, cluster size
+    and partitioning (sample() is none of these), which is what a
+    reproducible held-out split or decontamination subsample needs.
+    One narrow filter, no shuffle."""
+    return df.where(_md5_bucket(F.col(key_col))
+                    < F.lit(_frac_threshold(frac)))
+
+
+def stratified_sample(df, fracs, strata_col='lang', key_col='doc_id'):
+    """Per-stratum deterministic sampling: ``fracs`` maps stratum value
+    -> fraction (strata absent from the map are dropped).  The same
+    md5-prefix rule per stratum, so rebalancing a multilingual corpus
+    (downsample the head language, keep the tail) is reproducible and
+    shuffle-free."""
+    bucket = _md5_bucket(F.col(key_col))
+    cond = None
+    for value, frac in sorted(fracs.items()):
+        branch = ((F.col(strata_col) == value)
+                  & (bucket < F.lit(_frac_threshold(frac))))
+        cond = branch if cond is None else (cond | branch)
+    return df.where(cond if cond is not None else F.lit(False))

@@ -674,3 +674,44 @@ class TestJsonProps:
         plan = (json_props_stats(df)._jdf.queryExecution()
                 .executedPlan().toString())
         assert 'Python' not in plan and 'ArrowEval' not in plan
+
+
+@pytest.mark.spark
+class TestDeterministicSampling:
+    def test_partitioning_invariant_membership(self, spark):
+        from dragnet_spark.operators.text_analysis import (
+            deterministic_sample)
+        df = spark.read.parquet(
+            '/root/testdata/sf0.001/documents.parquet')
+        a = {r.doc_id for r in
+             deterministic_sample(df, 0.2).select('doc_id').collect()}
+        b = {r.doc_id for r in
+             deterministic_sample(df.repartition(13), 0.2)
+             .select('doc_id').collect()}
+        assert a == b and 0.1 < len(a) / df.count() < 0.3
+
+    def test_nested_samples_and_strata(self, spark):
+        from dragnet_spark.operators.text_analysis import (
+            deterministic_sample, stratified_sample)
+        df = spark.read.parquet(
+            '/root/testdata/sf0.001/documents.parquet')
+        # md5-prefix thresholds nest: the 10% sample is a subset of 30%
+        s10 = {r.doc_id for r in
+               deterministic_sample(df, 0.1).select('doc_id').collect()}
+        s30 = {r.doc_id for r in
+               deterministic_sample(df, 0.3).select('doc_id').collect()}
+        assert s10 < s30
+        st = stratified_sample(df, {'en': 1.0, 'zh': 0.0})
+        langs = {r.lang for r in st.select('lang').distinct().collect()}
+        assert langs == {'en'}  # frac 0 drops, absent strata drop
+        n_en = df.where("lang = 'en'").count()
+        assert st.count() == n_en  # frac 1.0 keeps every row
+
+    def test_no_shuffle(self, spark):
+        from dragnet_spark.operators.text_analysis import (
+            deterministic_sample)
+        df = spark.read.parquet(
+            '/root/testdata/sf0.001/documents.parquet')
+        plan = (deterministic_sample(df, 0.1)._jdf.queryExecution()
+                .executedPlan().toString())
+        assert 'Exchange' not in plan
