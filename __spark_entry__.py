@@ -806,41 +806,40 @@ def q_training_corpus_funnel(spark, sf_dir):
     """The complete LLM training-data pipeline as ONE composed chain --
     the product the north rule's engine exists to build: interleaved
     corpus (amplification=2 renders each article under two chrome
-    skins, planting realistic near-dups) -> fused extraction -> Gopher
-    quality + repetition gates on the EXTRACTED text -> MinHash cluster
-    assignment -> canonical-only corpus.  Output: the funnel (one row
-    of stage survivor counts).  Rows-only: extraction + MinHash in the
-    loop; every stage is individually oracle- or golden-checked."""
-    from dragnet_spark.operators.dedup import duplicate_cluster_assignments
-    from dragnet_spark.operators.text_analysis import (
-        gopher_quality_flags, gopher_repetition_flags)
+    skins, planting realistic near-dups) -> fused extraction ->
+    operators.curation.curate_corpus (Gopher quality + repetition
+    gates, MinHash cluster assignment, canonical-only).  Output: the
+    funnel (one row of stage survivor counts).  Rows-only: extraction
+    + MinHash in the loop; every stage is individually oracle- or
+    golden-checked.
+
+    The synthetic corpus draws content words from a ~40-word
+    vocabulary, so duplicated 10-grams occur by construction (min
+    observed coverage ~0.20); the paper threshold (0.10) would reject
+    every document for a data-generator artifact -- the repetition
+    gate runs at a corpus-scaled threshold here, while the paper
+    default stays pinned by the gopher_repetition oracle + tests."""
+    from dragnet_spark.operators.curation import curate_corpus
     from dragnet_spark.sources.synthesis import synthesize_and_extract
 
     extracted = (synthesize_and_extract(spark, sf_dir, amplification=2)
                  .where(F.col('status') == 'ok')
                  .select('doc_id', F.col('content_text').alias('text'))
                  .cache())
-    quality = gopher_quality_flags(extracted).select('doc_id', 'passes')
-    # the synthetic corpus draws content words from a ~40-word
-    # vocabulary, so duplicated 10-grams occur by construction (min
-    # observed coverage ~0.20); the paper threshold (0.10) would
-    # reject every document for a data-generator artifact.  The gate
-    # is applied at a corpus-scaled threshold; the paper default is
-    # pinned separately by the gopher_repetition oracle + unit tests.
-    repetition = (gopher_repetition_flags(extracted, max_dup10=0.6)
-                  .select('doc_id', 'passes_repetition'))
-    survivors = (extracted
-                 .join(quality, 'doc_id').join(repetition, 'doc_id')
-                 .where((F.col('passes') == 1)
-                        & (F.col('passes_repetition') == 1))
-                 .select('doc_id', 'text'))
-    assigned = duplicate_cluster_assignments(survivors, threshold=0.7)
-    n_input = extracted.count()
-    n_quality = survivors.count()
-    n_canonical = assigned.where(F.col('is_canonical') == 1).count()
+    curated, verdicts = curate_corpus(extracted, dedup_threshold=0.7,
+                                      max_dup10=0.6)
+    agg = (verdicts.agg(
+        F.count('*').alias('n_extracted_ok'),
+        F.sum(((F.col('passes_quality') == 1)
+               & (F.col('passes_repetition') == 1)).cast('long'))
+        .alias('n_quality_pass'),
+        F.sum('kept').alias('n_canonical')).collect()[0])
+    n_curated = curated.count()
     extracted.unpersist()
+    assert n_curated == agg['n_canonical']
     return spark.createDataFrame(
-        [(int(n_input), int(n_quality), int(n_canonical))],
+        [(int(agg['n_extracted_ok']), int(agg['n_quality_pass']),
+          int(agg['n_canonical']))],
         'n_extracted_ok long, n_quality_pass long, n_canonical long')
 
 

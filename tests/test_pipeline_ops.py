@@ -715,3 +715,44 @@ class TestDeterministicSampling:
         plan = (deterministic_sample(df, 0.1)._jdf.queryExecution()
                 .executedPlan().toString())
         assert 'Exchange' not in plan
+
+
+@pytest.mark.spark
+class TestCurateCorpus:
+    def test_verdicts_explain_every_drop(self, spark):
+        from dragnet_spark.operators.curation import curate_corpus
+
+        def doc(base):
+            # 64 distinct words incl. stopwords: passes quality and,
+            # having no repeated 10-grams, the repetition gate too
+            return ('the story of word%d and that which have with be '
+                    % base) + ' '.join(
+                'token%03d' % (base * 100 + i) for i in range(54))
+        rows = [(1, doc(1)),
+                (2, doc(2)),
+                (3, doc(1)),               # exact near-dup of doc 1
+                (4, 'too short to pass the gate'),
+                (5, 'buy now ' * 200)]     # repetition spam
+        df = spark.createDataFrame(rows, 'doc_id long, text string')
+        curated, verdicts = curate_corpus(df, dedup_threshold=0.9)
+        v = {r.doc_id: r for r in verdicts.collect()}
+        assert len(v) == 5                       # every input audited
+        assert v[4].passes_quality == 0          # dropped: quality
+        assert v[5].passes_repetition == 0       # dropped: repetition
+        assert v[3].is_canonical == 0            # dropped: near-dup
+        assert v[3].cluster_id == 1
+        kept = sorted(r.doc_id for r in curated.collect())
+        assert kept == [1, 2]
+        # verdict 'kept' agrees with the curated semi-join
+        assert kept == sorted(d for d, r in v.items() if r.kept == 1)
+
+    def test_curated_preserves_input_columns(self, spark):
+        from dragnet_spark.operators.curation import curate_corpus
+        text = ('the story of words and that which have with be '
+                + ' '.join('token%03d' % i for i in range(54)))
+        df = spark.createDataFrame(
+            [(1, text, 'extra')],
+            'doc_id long, text string, meta string')
+        curated, _ = curate_corpus(df)
+        assert curated.columns == ['doc_id', 'text', 'meta']
+        assert curated.first().meta == 'extra'
