@@ -266,9 +266,10 @@ def q_gopher_quality(spark, sf_dir):
 
 
 def q_gopher_repetition(spark, sf_dir):
-    """Gopher repetition gate: top-2-gram and duplicated-10-gram
-    character fractions per document (occurrence-weighted variant,
-    defined identically in the oracle) with the pass flag."""
+    """Gopher repetition gate: top-2-gram (occurrence-weighted) and
+    duplicated-10-gram (POSITIONAL coverage -- each token position
+    counts once; see the operator docstring) character fractions per
+    document, defined identically in the oracle, with the pass flag."""
     from dragnet_spark.operators.text_analysis import (
         gopher_repetition_flags)
     return gopher_repetition_flags(_docs(spark, sf_dir))
@@ -1618,12 +1619,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         'gold_corrected_source': """
             WITH f AS (
+              -- first-occurrence split with keep-rest semantics
+              -- (maxsplit=1, like the reader): non-greedy anchored
+              -- regexes, NOT regexp_split_to_array, which would stop
+              -- the comments at a SECOND delimiter inside them
               SELECT regexp_replace(regexp_replace(filename, '^.*/', ''),
                                     '\\.corrected\\.txt$', '')
                        AS doc_id,
-                     regexp_split_to_array(content,
-                       '\\n*!@#\\$%\\^&\\*\\(\\)\\s+COMMENTS\\n*')
-                       AS parts
+                     content,
+                     regexp_matches(content,
+                       '!@#\\$%\\^&\\*\\(\\)\\s+COMMENTS')
+                       AS has_delim
               FROM (
                 SELECT filename, decode(content) AS content
                 FROM read_blob(
@@ -1632,11 +1638,15 @@ def oracle_sql() -> dict[str, str]:
               )
             )
             SELECT doc_id,
-                   regexp_replace(parts[1], '^\\s+|\\s+$', '', 'g')
-                     AS content_text,
-                   CASE WHEN len(parts) > 1
-                        THEN regexp_replace(parts[2],
-                                            '^\\s+|\\s+$', '', 'g')
+                   regexp_replace(
+                     CASE WHEN has_delim THEN regexp_extract(content,
+                       '(?s)^(.*?)\\n*!@#\\$%\\^&\\*\\(\\)\\s+COMMENTS',
+                       1) ELSE content END,
+                     '^\\s+|\\s+$', '', 'g') AS content_text,
+                   CASE WHEN has_delim
+                        THEN regexp_replace(regexp_replace(content,
+                          '(?s)^.*?!@#\\$%\\^&\\*\\(\\)\\s+COMMENTS\\n*',
+                          ''), '^\\s+|\\s+$', '', 'g')
                         ELSE '' END AS comments_text
             FROM f ORDER BY doc_id
         """,

@@ -86,4 +86,8 @@ def propagate_min_labels(nodes, edges, id_col='doc_id',
         if done:
             converged = True
             break
+    # the edge list is only consumed during the rounds; the returned
+    # labels are independently checkpointed -- release it now rather
+    # than pinning a 2x-edge RDD in block storage per call
+    sym.unpersist()
     return labels.select(F.col('_id').alias(id_col), 'label'), converged

@@ -50,12 +50,16 @@ def curate_corpus(docs, text_col='text', id_col='doc_id',
     """
     base = docs.select(F.col(id_col).alias('doc_id'),
                        F.col(text_col).alias('text'))
-    quality = (gopher_quality_flags(base)
-               .select('doc_id', F.col('passes').alias('passes_quality')))
+    # the quality gate is a narrow projection: carry the text through
+    # it (keep_cols) instead of re-joining the corpus to recover it --
+    # only the aggregation-bearing repetition gate needs a join
+    quality = (gopher_quality_flags(base, keep_cols=('text',))
+               .select('doc_id', 'text',
+                       F.col('passes').alias('passes_quality')))
     repetition = (gopher_repetition_flags(base, max_top2=max_top2,
                                           max_dup10=max_dup10)
                   .select('doc_id', 'passes_repetition'))
-    gated = (base.join(quality, 'doc_id').join(repetition, 'doc_id'))
+    gated = quality.join(repetition, 'doc_id')
     survivors = (gated
                  .where((F.col('passes_quality') == 1)
                         & (F.col('passes_repetition') == 1))

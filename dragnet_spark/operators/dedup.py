@@ -328,7 +328,8 @@ def duplicate_cluster_assignments(df, text_col='text', id_col='doc_id',
     """Near-duplicate CLUSTER assignment: one row per document with its
     cluster id and the keep/drop decision.
 
-    ``(doc_id, cluster_id, is_canonical)`` -- pairs from MinHash-LSH
+    ``(doc_id, cluster_id, is_canonical, converged)`` -- pairs from
+    MinHash-LSH
     (:func:`minhash_near_duplicates`) feed DataFrame-only connected
     components (:func:`~dragnet_spark.operators.components.
     propagate_min_labels`); the cluster id is the component's minimum
@@ -346,14 +347,15 @@ def duplicate_cluster_assignments(df, text_col='text', id_col='doc_id',
         df.select(F.col(id_col).alias('doc_id')), pairs,
         id_col='doc_id', src_col='doc_a', dst_col='doc_b',
         max_rounds=max_rounds)
-    out = labels.select(
+    # 'converged' is UNCONDITIONAL: a schema that appears only on the
+    # non-converged runs would break fixed-schema consumers (parquet
+    # appends, pinned query outputs) exactly when the flag matters
+    return labels.select(
         F.col('doc_id').alias(id_col),
         F.col('label').alias('cluster_id'),
         (F.col('doc_id') == F.col('label')).cast('long')
-        .alias('is_canonical'))
-    if not converged:
-        out = out.withColumn('converged', F.lit(False))
-    return out
+        .alias('is_canonical'),
+        F.lit(converged).alias('converged'))
 
 
 # -- passage-level exact dedup ----------------------------------------------

@@ -412,6 +412,8 @@ def with_planted_duplicates(df, vec_col='embedding', id_col='vec_id',
 
 IVF_CELLS = 64
 IVF_PROBES = 3
+# the one live persisted IVF inverted file (see _ivf_sq8_scan)
+_LIVE_IVF_INDEX = None
 
 
 def _spherical_kmeans(mat, k, iters=15, seed=42):
@@ -553,6 +555,17 @@ def _ivf_sq8_scan(df, queries_df, k, vec_col, id_col, n_cells, n_probe,
     smat = np.vstack(sample['_v'].to_numpy()).astype(np.float64)
     centroids = _spherical_kmeans(smat, n_cells, seed=seed)
     corpus_cells = ivf_assignments(df, centroids, vec_col, id_col).persist()
+    # the persisted inverted file must outlive this (lazy) query, so it
+    # cannot be unpersisted here; cap the leak at one index per session
+    # by releasing the previous call's cache (which is also the natural
+    # index lifecycle -- the newest index is the one queries reuse)
+    global _LIVE_IVF_INDEX
+    if _LIVE_IVF_INDEX is not None:
+        try:
+            _LIVE_IVF_INDEX.unpersist()
+        except Exception:
+            pass
+    _LIVE_IVF_INDEX = corpus_cells
 
     qpdf = queries_df.select(F.col(id_col).alias('query_id'),
                              F.col(vec_col).alias('_qv')).toPandas()

@@ -78,7 +78,7 @@ GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
 GOPHER_MIN_STOPWORD_HITS = 2
 
 
-def gopher_quality_flags(df, text_col='text'):
+def gopher_quality_flags(df, text_col='text', keep_cols=()):
     """Gopher-rule document filter (Rae et al. 2021, arXiv:2112.11446
     Appendix A1.1 -- the canonical pre-training quality gate), as pure
     column expressions:
@@ -97,8 +97,12 @@ def gopher_quality_flags(df, text_col='text'):
     """
     # Generate collapse barrier (see gopher_repetition_flags): without
     # it the whitespace-split expression inlines into every lambda and
-    # aggregate below (17 split() occurrences in the optimized plan)
+    # aggregate below (17 split() occurrences in the optimized plan).
+    # ``keep_cols`` ride through so callers get flags + payload in ONE
+    # projection instead of a corpus-wide re-join (the gate is a pure
+    # narrow op; forcing a join to recover the text would shuffle).
     df = (df.select('doc_id', F.col(text_col).alias('_text'),
+                    *[F.col(c) for c in keep_cols],
                     F.array_remove(F.split(F.trim(text_col), '\\s+'), '')
                     .alias('_words'),
                     F.explode(F.array(F.lit(1))).alias('_b'))
@@ -131,6 +135,7 @@ def gopher_quality_flags(df, text_col='text'):
               & (stop_hits >= GOPHER_MIN_STOPWORD_HITS))
     return df.select(
         'doc_id',
+        *keep_cols,
         n_words.cast('long').alias('n_words'),
         F.round(mean_word_len, 6).alias('mean_word_len'),
         F.round(symbol_ratio, 6).alias('symbol_ratio'),

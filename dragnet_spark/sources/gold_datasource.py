@@ -101,13 +101,21 @@ class GoldCorrectedWriter(DataSourceWriter):
     owns the row -- the exact inverse of the reader, so a corpus can
     round-trip through the reference's on-disk layout.  Each file write
     is an O(one doc) operation per executor; the driver only tallies
-    commit messages."""
+    commit messages.
 
-    def __init__(self, options):
+    ``mode('overwrite')`` clears existing ``*.corrected.txt`` files
+    driver-side at plan time (this constructor) -- without it, stale
+    per-doc files from a previous larger write would survive as
+    phantom rows in the "overwritten" corpus."""
+
+    def __init__(self, options, overwrite=False):
         self.path = options.get('path')
         if not self.path:
             raise ValueError("gold_corrected needs a directory: "
                              ".save('/dir') or .option('path', '/dir')")
+        if overwrite and os.path.isdir(self.path):
+            for rel in _list_corrected(self.path):
+                os.remove(os.path.join(self.path, rel))
 
     def write(self, iterator):
         n = 0
@@ -182,7 +190,7 @@ class GoldCorrectedDataSource(DataSource):
         return GoldCorrectedReader(self.options)
 
     def writer(self, schema, overwrite):
-        return GoldCorrectedWriter(self.options)
+        return GoldCorrectedWriter(self.options, overwrite=overwrite)
 
     def simpleStreamReader(self, schema):
         return GoldCorrectedStreamReader(self.options)

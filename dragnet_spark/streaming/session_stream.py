@@ -5,9 +5,11 @@ group into per-user sessions that close after ``gap`` of inactivity.
 ``F.session_window`` keeps one merging window per open (user, session)
 -- state is bounded by the watermark horizon times the number of
 concurrently active users, not the stream length; the gap semantics
-are exactly Spark's (an event at ``ts >= prev_ts + gap`` starts a new
-session), mirrored with ``>=`` in the gaps-and-islands DuckDB oracle
-(``__spark_entry__.streaming_sessions``).
+are exactly Spark's: an event at EXACTLY ``prev_ts + gap`` still
+MERGES into the session (the window extends through its end), so only
+a strictly-greater gap starts a new session -- mirrored with ``>`` in
+the gaps-and-islands DuckDB oracle
+(``__spark_entry__.streaming_sessions``) and pinned by test.
 
 Consumed via ``availableNow`` + complete mode into a memory sink for
 the deterministic batch-equivalent view, like ``window_stream``.

@@ -308,7 +308,7 @@ class TestStreamStaticJoin:
 
 @pytest.mark.spark
 class TestStreamingSessions:
-    def test_gap_semantics_exact_boundary_starts_new_session(
+    def test_gap_semantics_exact_boundary_merges(
             self, spark, tmp_path):
         from dragnet_spark.streaming.session_stream import (
             run_session_windows)
@@ -473,3 +473,24 @@ class TestGoldStreamSource:
         back = sorted(map(tuple, spark.read.format('gold_corrected')
                           .load(out).collect()))
         assert back == sorted(rows)
+
+
+@pytest.mark.spark
+class TestGoldWriterOverwrite:
+    def test_overwrite_clears_stale_docs(self, spark, tmp_path):
+        from dragnet_spark.sources.gold_datasource import register
+        register(spark)
+        out = str(tmp_path / 'gold_ow')
+        big = spark.createDataFrame(
+            [('d%d' % i, 'content %d' % i, '') for i in range(6)],
+            'doc_id string, content_text string, comments_text string')
+        (big.write.format('gold_corrected').mode('append')
+         .option('path', out).save())
+        small = spark.createDataFrame(
+            [('d0', 'rewritten', '')],
+            'doc_id string, content_text string, comments_text string')
+        (small.write.format('gold_corrected').mode('overwrite')
+         .option('path', out).save())
+        back = spark.read.format('gold_corrected').load(out).collect()
+        assert [(r.doc_id, r.content_text) for r in back] \
+            == [('d0', 'rewritten')]  # no phantom d1..d5

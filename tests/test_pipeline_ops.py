@@ -530,7 +530,7 @@ class TestDuplicateClusters:
             assert by_doc[i + 1000].is_canonical == 0
         kept = [r.doc_id for r in got if r.is_canonical == 1]
         assert sorted(kept) == list(range(1, 21))
-        assert 'converged' not in out.columns  # converged run
+        assert all(r.converged for r in got)  # converged run
 
 
 @pytest.mark.spark
