@@ -1592,30 +1592,48 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY user_id, sid
         """,
         'events_props_json': """
+            -- CAST sums to BIGINT: DuckDB sum(BIGINT) returns HUGEINT
+            -- (int128 -> float64 in the compare frame) while Spark
+            -- returns long -- r04's only hash mismatches.  json_valid
+            -- guard: DuckDB json_extract ERRORS on malformed JSON
+            -- where Spark's from_json/try_parse_json yield null.
+            WITH k AS (
+              SELECT event_type,
+                     CASE WHEN props IS NOT NULL AND json_valid(props)
+                          THEN TRY_CAST(json_extract(props, '$.k')
+                                        AS BIGINT) END AS k
+              FROM events
+            )
             SELECT event_type AS group_key,
                    count(*) AS n_events,
-                   sum(CASE WHEN json_extract(props, '$.k') IS NULL
-                            THEN 1 ELSE 0 END) AS n_missing,
-                   sum(CAST(json_extract(props, '$.k') AS BIGINT))
-                     AS sum_k,
-                   min(CAST(json_extract(props, '$.k') AS BIGINT))
-                     AS min_k,
-                   max(CAST(json_extract(props, '$.k') AS BIGINT))
-                     AS max_k
-            FROM events GROUP BY 1
+                   CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_missing,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   min(k) AS min_k,
+                   max(k) AS max_k
+            FROM k GROUP BY 1
         """,
         'events_props_variant': """
+            -- CAST sums to BIGINT: DuckDB sum(BIGINT) returns HUGEINT
+            -- (int128 -> float64 in the compare frame) while Spark
+            -- returns long -- r04's only hash mismatches.  json_valid
+            -- guard: DuckDB json_extract ERRORS on malformed JSON
+            -- where Spark's from_json/try_parse_json yield null.
+            WITH k AS (
+              SELECT event_type,
+                     CASE WHEN props IS NOT NULL AND json_valid(props)
+                          THEN TRY_CAST(json_extract(props, '$.k')
+                                        AS BIGINT) END AS k
+              FROM events
+            )
             SELECT event_type AS group_key,
                    count(*) AS n_events,
-                   sum(CASE WHEN json_extract(props, '$.k') IS NULL
-                            THEN 1 ELSE 0 END) AS n_missing,
-                   sum(CAST(json_extract(props, '$.k') AS BIGINT))
-                     AS sum_k,
-                   min(CAST(json_extract(props, '$.k') AS BIGINT))
-                     AS min_k,
-                   max(CAST(json_extract(props, '$.k') AS BIGINT))
-                     AS max_k
-            FROM events GROUP BY 1
+                   CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_missing,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   min(k) AS min_k,
+                   max(k) AS max_k
+            FROM k GROUP BY 1
         """,
         'gold_corrected_source': """
             WITH f AS (

@@ -385,17 +385,28 @@ def duplicated_passages(df, text_col='text', id_col='doc_id',
     with ``n_docs > 1`` from non-canonical docs is a broadcast-able
     join when the duplicated-passage table is small (it usually is:
     chrome and licenses), else a shuffle join on the sig.
+
+    The token array is materialized behind an ``explode(array(1))``
+    collapse barrier before the n-gram ``transform``: lambda bodies
+    are opaque to Catalyst subexpression elimination, so an inline
+    tokenizer expression would be re-evaluated once PER n-gram
+    position (the ~20x anti-pattern measured in ``shingles_col``'s
+    docstring and engineered around in ``gopher_repetition_flags``);
+    behind the barrier ``_toks`` is a bound attribute, tokenized once
+    per document.
     """
-    toks = tokens_col(F.col(text_col))  # same pattern as the inline SQL
+    raw = "array_remove(split(%s, '[^a-zA-Z0-9]+'), '')" % text_col
+    tk = (df.select(F.col(id_col).alias('_id'),
+                    F.expr(raw).alias('_toks'),
+                    F.explode(F.array(F.lit(1))).alias('_b'))
+          .drop('_b'))
     grams = F.when(
-        F.size(toks) >= n,
-        F.expr("transform(sequence(0, size({t}) - {n}), "
-               "i -> array_join(slice({t}, i + 1, {n}), ' '))"
-               .format(t="array_remove(split(%s, '[^a-zA-Z0-9]+'), '')"
-                       % text_col, n=n))
+        F.size('_toks') >= n,
+        F.expr("transform(sequence(0, size(_toks) - {n}), "
+               "i -> array_join(slice(_toks, i + 1, {n}), ' '))"
+               .format(n=n))
     ).otherwise(F.array())
-    exploded = (df.select(F.col(id_col).alias('_id'),
-                          F.explode(grams).alias('passage'))
+    exploded = (tk.select('_id', F.explode(grams).alias('passage'))
                 .select('_id', 'passage',
                         F.md5(F.col('passage').cast('binary'))
                         .alias('passage_sig')))
