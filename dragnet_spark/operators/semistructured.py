@@ -20,7 +20,7 @@ def json_props_stats(df, props_col='props', group_col='event_type',
     ``n_missing`` counts rows whose payload parses but lacks the field
     (or fails to parse -- ``from_json`` yields null either way); the
     sums/extrema skip nulls, matching SQL aggregate semantics in the
-    DuckDB oracle (``events_props_json``).
+    DuckDB oracle (``events_props``).
     """
     k = F.from_json(F.col(props_col), '%s bigint' % field)[field]
     return (df
