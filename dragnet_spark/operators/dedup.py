@@ -339,10 +339,22 @@ def duplicate_cluster_assignments(df, text_col='text', id_col='doc_id',
     diameter) joins -- no doc-level data on the driver at any point,
     the full pipeline a 10^12-doc dedup pass runs.
     """
-    from .components import propagate_min_labels
-
     pairs = minhash_near_duplicates(df, text_col=text_col,
                                     threshold=threshold)
+    return cluster_assignments_from_pairs(df, pairs, id_col=id_col,
+                                          max_rounds=max_rounds)
+
+
+def cluster_assignments_from_pairs(df, pairs, id_col='doc_id',
+                                   max_rounds=24):
+    """Cluster-assignment decision table from an explicit duplicate-pair
+    edge list ``(doc_a, doc_b)``: the connected-components +
+    canonical-member step of :func:`duplicate_cluster_assignments`,
+    factored out so any pair miner (MinHash, SimHash, embedding-LSH, or
+    an exact :func:`jaccard_pairs` reference list) feeds the same
+    distributed fixpoint."""
+    from .components import propagate_min_labels
+
     labels, converged = propagate_min_labels(
         df.select(F.col(id_col).alias('doc_id')), pairs,
         id_col='doc_id', src_col='doc_a', dst_col='doc_b',
