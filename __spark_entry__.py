@@ -710,20 +710,31 @@ def q_template_mining(spark, sf_dir):
 
 
 def q_feature_importances(spark, sf_dir):
-    """E5 companion (reference paper Table 2 style): standardized-
-    coefficient importances of the shipped LR over the 9-column union,
-    stds measured on the labeled gold blocks (JVM-side aggregation).
-    Rows-only: training/labeling is not SQL-expressible."""
+    """E5 companion (reference paper Table 2 style), both default
+    backends: standardized-coefficient importances of the shipped LR
+    (stds measured on the labeled gold blocks, JVM-side aggregation)
+    and impurity importances of a fitted RandomForest -- the Spark ML
+    analogue of the reference's default ExtraTreesClassifier
+    (/root/reference/dragnet/extractor.py:48).  Rows-only:
+    training/labeling is not SQL-expressible."""
     from dragnet_spark.extractor import Extractor
     from dragnet_spark.operators.labeling import gold_blocks
     from dragnet_spark.sources.synthesis import synthesize_corpus
     spans_df, gold_df = synthesize_corpus(spark, sf_dir,
                                           include_edge_docs=False)
-    ex = Extractor()
-    imps = ex.feature_importances(gold_blocks(spans_df, gold_df))
+    labeled = gold_blocks(spans_df, gold_df).cache()
+    rows = []
+    for backend, ex in (('lr', Extractor()),
+                        ('rf', Extractor(classifier='rf')
+                         .fit_blocks(labeled))):
+        imps = ex.feature_importances(labeled if backend == 'lr' else None)
+        rows += [(backend, i, n, round(v, 6))
+                 for i, (n, v) in enumerate(imps)]
+    labeled.unpersist()
     return spark.createDataFrame(
-        [(i, n, round(v, 6)) for i, (n, v) in enumerate(imps)],
-        'feature_idx long, feature_name string, importance double')
+        rows,
+        'backend string, feature_idx long, feature_name string, '
+        'importance double')
 
 
 def q_streaming_window_counts(spark, sf_dir):
@@ -1186,6 +1197,21 @@ def q_relational_sanity(spark, sf_dir):
     return p.unionByName(s).unionByName(g)
 
 
+def q_curation_gates(spark, sf_dir):
+    """The oracle-checkable prefix of the curation funnel: per-stage
+    survivor counts of the Gopher quality + repetition gates over the
+    documents table (one row: n_total, n_quality_pass,
+    n_repetition_pass, n_both_pass), at the same corpus-scaled
+    repetition threshold the full funnel uses (max_dup10=0.6 -- the
+    ~40-word synthetic vocabulary makes duplicated 10-grams a
+    generator artifact; see training_corpus_funnel).  DuckDB re-derives
+    both gates and checks the funnel arithmetic exactly; the full
+    pipeline (extraction + MinHash in the loop) remains rows-only."""
+    from dragnet_spark.operators.curation import gate_funnel
+    return gate_funnel(_docs(spark, sf_dir).select('doc_id', 'text'),
+                       max_dup10=0.6)
+
+
 def q_events_props(spark, sf_dir):
     """Both semi-structured engines over the same payload aggregation --
     from_json (declared struct schema) and Spark 4 VARIANT
@@ -1271,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'streaming_dim_join': q_streaming_dim_join,
         'streaming_sessions': q_streaming_sessions,
         'training_corpus_funnel': q_training_corpus_funnel,
+        'curation_gates': q_curation_gates,
         'events_props': q_events_props,
         'gold_corrected_source': q_gold_corrected_source,
         'sample_hash_bucket': q_sample_hash_bucket,
@@ -1304,6 +1331,112 @@ def _css_flags_oracle():
         FROM documents d,
              (SELECT unnest(range({len(toks36)})) AS i) r,
              (SELECT {lit} AS tl) t
+    """
+
+
+def _gopher_quality_oracle():
+    """DuckDB twin of gopher_quality_flags (per-doc stats + passes)."""
+    return """
+        WITH w AS (
+          SELECT doc_id, text,
+                 list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x <> '') AS words
+          FROM documents
+        ), r AS (
+          SELECT doc_id,
+                 len(words) AS n_words,
+                 CAST(coalesce(list_sum(list_transform(words,
+                                            x -> length(x))), 0)
+                      AS DOUBLE)
+                   / greatest(len(words), 1) AS mean_word_len,
+                 ((length(text) - length(replace(text, '#', '')))
+                  + (length(text) - length(replace(text, '...', '')))
+                    / 3) / greatest(len(words), 1) AS symbol_ratio,
+                 CAST(len(list_filter(words,
+                          x -> regexp_matches(x, '[a-zA-Z]')))
+                      AS DOUBLE)
+                   / greatest(len(words), 1) AS alpha_word_frac,
+                 len(list_distinct(list_intersect(
+                     list_distinct(list_transform(words,
+                                                  x -> lower(x))),
+                     ['the', 'be', 'to', 'of', 'and', 'that',
+                      'have', 'with']))) AS stopword_hits
+          FROM w
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               round(mean_word_len, 6) AS mean_word_len,
+               round(symbol_ratio, 6) AS symbol_ratio,
+               round(alpha_word_frac, 6) AS alpha_word_frac,
+               CAST(stopword_hits AS BIGINT) AS stopword_hits,
+               CASE WHEN n_words >= 50 AND n_words <= 100000
+                         AND mean_word_len >= 3.0
+                         AND mean_word_len <= 10.0
+                         AND symbol_ratio <= 0.1
+                         AND alpha_word_frac >= 0.8
+                         AND stopword_hits >= 2
+                    THEN 1 ELSE 0 END AS passes
+        FROM r
+    """
+
+
+def _gopher_repetition_oracle(max_top2='0.20', max_dup10='0.10'):
+    """DuckDB twin of gopher_repetition_flags; thresholds are
+    parameters so the corpus-scaled curation_gates oracle reuses the
+    exact same n-gram derivation."""
+    return f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS_L.format(src='text')} AS toks
+          FROM documents
+        ), b AS (
+          SELECT doc_id,
+                 CAST(coalesce(list_sum(list_transform(toks,
+                          x -> length(x))), 0) AS BIGINT) AS chars,
+                 toks
+          FROM t
+        ), g2 AS (
+          SELECT doc_id,
+                 array_to_string(toks[i + 1:i + 2], ' ') AS g
+          FROM b, unnest(range(greatest(len(toks) - 1, 0))) AS u(i)
+        ), g2c AS (
+          SELECT doc_id, g, count(*) AS n FROM g2 GROUP BY 1, 2
+        ), top2 AS (
+          SELECT doc_id, max((length(g) - 1) * n) AS top2 FROM g2c
+          GROUP BY 1
+        ), g10 AS (
+          SELECT doc_id, i,
+                 array_to_string(toks[i + 1:i + 10], ' ') AS g
+          FROM b, unnest(range(greatest(len(toks) - 9, 0))) AS u(i)
+        ), dupg AS (
+          SELECT doc_id, g FROM g10 GROUP BY 1, 2
+          HAVING count(*) > 1
+        ), cov AS (
+          SELECT DISTINCT g10.doc_id, g10.i + v.j AS idx
+          FROM g10 JOIN dupg USING (doc_id, g),
+               unnest(range(10)) AS v(j)
+        ), tp AS (
+          SELECT doc_id, u.i AS idx, length(toks[u.i + 1]) AS toklen
+          FROM b, unnest(range(len(toks))) AS u(i)
+        ), dup10 AS (
+          SELECT cov.doc_id, sum(tp.toklen) AS dup10
+          FROM cov JOIN tp USING (doc_id, idx)
+          GROUP BY 1
+        )
+        SELECT b.doc_id,
+               round(CAST(coalesce(top2.top2, 0) AS DOUBLE)
+                     / greatest(b.chars, 1), 6)
+                 AS top_2gram_char_frac,
+               round(CAST(coalesce(dup10.dup10, 0) AS DOUBLE)
+                     / greatest(b.chars, 1), 6)
+                 AS dup_10gram_char_frac,
+               CASE WHEN CAST(coalesce(top2.top2, 0) AS DOUBLE)
+                         / greatest(b.chars, 1) <= {max_top2}
+                         AND CAST(coalesce(dup10.dup10, 0) AS DOUBLE)
+                         / greatest(b.chars, 1) <= {max_dup10}
+                    THEN 1 ELSE 0 END AS passes_repetition
+        FROM b
+        LEFT JOIN top2 USING (doc_id)
+        LEFT JOIN dup10 ON dup10.doc_id = b.doc_id
     """
 
 
@@ -1353,101 +1486,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             HAVING count(DISTINCT doc_id) >= 2
         """,
-        'gopher_quality': """
-            WITH w AS (
-              SELECT doc_id, text,
-                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                                 x -> x <> '') AS words
-              FROM documents
-            ), r AS (
-              SELECT doc_id,
-                     len(words) AS n_words,
-                     CAST(coalesce(list_sum(list_transform(words,
-                                                x -> length(x))), 0)
-                          AS DOUBLE)
-                       / greatest(len(words), 1) AS mean_word_len,
-                     ((length(text) - length(replace(text, '#', '')))
-                      + (length(text) - length(replace(text, '...', '')))
-                        / 3) / greatest(len(words), 1) AS symbol_ratio,
-                     CAST(len(list_filter(words,
-                              x -> regexp_matches(x, '[a-zA-Z]')))
-                          AS DOUBLE)
-                       / greatest(len(words), 1) AS alpha_word_frac,
-                     len(list_distinct(list_intersect(
-                         list_distinct(list_transform(words,
-                                                      x -> lower(x))),
-                         ['the', 'be', 'to', 'of', 'and', 'that',
-                          'have', 'with']))) AS stopword_hits
-              FROM w
-            )
-            SELECT doc_id,
-                   CAST(n_words AS BIGINT) AS n_words,
-                   round(mean_word_len, 6) AS mean_word_len,
-                   round(symbol_ratio, 6) AS symbol_ratio,
-                   round(alpha_word_frac, 6) AS alpha_word_frac,
-                   CAST(stopword_hits AS BIGINT) AS stopword_hits,
-                   CASE WHEN n_words >= 50 AND n_words <= 100000
-                             AND mean_word_len >= 3.0
-                             AND mean_word_len <= 10.0
-                             AND symbol_ratio <= 0.1
-                             AND alpha_word_frac >= 0.8
-                             AND stopword_hits >= 2
-                        THEN 1 ELSE 0 END AS passes
-            FROM r
-        """,
-        'gopher_repetition': f"""
-            WITH t AS (
-              SELECT doc_id, {_TOKS_L.format(src='text')} AS toks
-              FROM documents
-            ), b AS (
-              SELECT doc_id,
-                     CAST(coalesce(list_sum(list_transform(toks,
-                              x -> length(x))), 0) AS BIGINT) AS chars,
-                     toks
-              FROM t
-            ), g2 AS (
-              SELECT doc_id,
-                     array_to_string(toks[i + 1:i + 2], ' ') AS g
-              FROM b, unnest(range(greatest(len(toks) - 1, 0))) AS u(i)
-            ), g2c AS (
-              SELECT doc_id, g, count(*) AS n FROM g2 GROUP BY 1, 2
-            ), top2 AS (
-              SELECT doc_id, max((length(g) - 1) * n) AS top2 FROM g2c
-              GROUP BY 1
-            ), g10 AS (
-              SELECT doc_id, i,
-                     array_to_string(toks[i + 1:i + 10], ' ') AS g
-              FROM b, unnest(range(greatest(len(toks) - 9, 0))) AS u(i)
-            ), dupg AS (
-              SELECT doc_id, g FROM g10 GROUP BY 1, 2
-              HAVING count(*) > 1
-            ), cov AS (
-              SELECT DISTINCT g10.doc_id, g10.i + v.j AS idx
-              FROM g10 JOIN dupg USING (doc_id, g),
-                   unnest(range(10)) AS v(j)
-            ), tp AS (
-              SELECT doc_id, u.i AS idx, length(toks[u.i + 1]) AS toklen
-              FROM b, unnest(range(len(toks))) AS u(i)
-            ), dup10 AS (
-              SELECT cov.doc_id, sum(tp.toklen) AS dup10
-              FROM cov JOIN tp USING (doc_id, idx)
-              GROUP BY 1
-            )
-            SELECT b.doc_id,
-                   round(CAST(coalesce(top2.top2, 0) AS DOUBLE)
-                         / greatest(b.chars, 1), 6)
-                     AS top_2gram_char_frac,
-                   round(CAST(coalesce(dup10.dup10, 0) AS DOUBLE)
-                         / greatest(b.chars, 1), 6)
-                     AS dup_10gram_char_frac,
-                   CASE WHEN CAST(coalesce(top2.top2, 0) AS DOUBLE)
-                             / greatest(b.chars, 1) <= 0.20
-                             AND CAST(coalesce(dup10.dup10, 0) AS DOUBLE)
-                             / greatest(b.chars, 1) <= 0.10
-                        THEN 1 ELSE 0 END AS passes_repetition
-            FROM b
-            LEFT JOIN top2 USING (doc_id)
-            LEFT JOIN dup10 ON dup10.doc_id = b.doc_id
+        'gopher_quality': _gopher_quality_oracle(),
+        'gopher_repetition': _gopher_repetition_oracle(),
+        'curation_gates': f"""
+            WITH q AS ({_gopher_quality_oracle()}),
+            r AS ({_gopher_repetition_oracle(max_dup10='0.6')})
+            SELECT count(*) AS n_total,
+                   CAST(sum(q.passes) AS BIGINT) AS n_quality_pass,
+                   CAST(sum(r.passes_repetition) AS BIGINT)
+                     AS n_repetition_pass,
+                   CAST(sum(CASE WHEN q.passes = 1
+                                 AND r.passes_repetition = 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_both_pass
+            FROM q JOIN r USING (doc_id)
         """,
         'language_id': f"""
             WITH t AS (

@@ -13,13 +13,18 @@ Two classifier backends:
 * ``'lr'`` (default): seeded logistic regression -> a 9-coef
   :class:`~dragnet_spark.model.LogisticModel` applied inside the fused
   zero-shuffle ``mapInArrow`` inference stage.  The production path.
-* ``'gbt'``: ``pyspark.ml.classification.GBTClassifier`` -- the
-  capability analogue of the reference's default ``ExtraTreesClassifier``
-  (``extractor.py:48``).  Tree ensembles are JVM-side Spark ML models, so
-  inference runs through the exploded blocks DataFrame +
-  ``model.transform`` + a per-document reassembly aggregation (one
-  shuffle) instead of the fused stage; use it when LR's linear boundary
-  underfits and the extra shuffle is acceptable.
+* ``'gbt'``: ``pyspark.ml.classification.GBTClassifier`` -- boosted
+  trees when LR's linear boundary underfits.
+* ``'rf'``: ``pyspark.ml.classification.RandomForestClassifier`` -- the
+  closest Spark ML analogue of the reference's default
+  ``ExtraTreesClassifier()`` (``/root/reference/dragnet/extractor.py:48``):
+  a bagged randomized-tree ensemble (Spark samples features per split
+  like ExtraTrees, bootstrap rows like RandomForest).
+
+Tree ensembles are JVM-side Spark ML models, so inference runs through
+the exploded blocks DataFrame + ``model.transform`` + a per-document
+reassembly aggregation (one shuffle) instead of the fused zero-shuffle
+``mapInArrow`` stage the 'lr' path uses.
 """
 
 from __future__ import annotations
@@ -39,11 +44,12 @@ class Extractor:
 
     def __init__(self, to_extract=('content',), features=DEFAULT_FEATURES,
                  classifier='lr', prob_threshold=0.5, reg_param=1e-4,
-                 max_iter=100, gbt_max_iter=20, gbt_max_depth=5, seed=42):
+                 max_iter=100, gbt_max_iter=20, gbt_max_depth=5,
+                 rf_num_trees=50, rf_max_depth=10, seed=42):
         if isinstance(to_extract, str):
             to_extract = (to_extract,)
-        if classifier not in ('lr', 'gbt'):
-            raise ValueError("classifier must be 'lr' or 'gbt'")
+        if classifier not in ('lr', 'gbt', 'rf'):
+            raise ValueError("classifier must be 'lr', 'gbt' or 'rf'")
         self.to_extract = tuple(to_extract)
         self.features = tuple(features)
         self.classifier = classifier
@@ -52,9 +58,11 @@ class Extractor:
         self.max_iter = max_iter
         self.gbt_max_iter = gbt_max_iter
         self.gbt_max_depth = gbt_max_depth
+        self.rf_num_trees = rf_num_trees
+        self.rf_max_depth = rf_max_depth
         self.seed = seed
         self.model = None        # LogisticModel for 'lr'
-        self.spark_model = None  # GBTClassificationModel for 'gbt'
+        self.spark_model = None  # tree-ensemble model for 'gbt'/'rf'
 
     # -- training ---------------------------------------------------------
     def fit(self, spans_df, gold_df):
@@ -72,7 +80,6 @@ class Extractor:
                 reg_param=self.reg_param, max_iter=self.max_iter,
                 prob_threshold=self.prob_threshold)
         else:
-            from pyspark.ml.classification import GBTClassifier
             from pyspark.ml.functions import array_to_vector
             df = (gold_blocks_df
                   .where(F.col('features').isNotNull())
@@ -80,11 +87,22 @@ class Extractor:
                           _label_col(self.to_extract).alias('label'),
                           F.col('weight').cast('double').alias('weight'))
                   .where(F.col('label').isNotNull()))
-            gbt = GBTClassifier(featuresCol='fv', labelCol='label',
-                                weightCol='weight',
-                                maxIter=self.gbt_max_iter,
-                                maxDepth=self.gbt_max_depth, seed=self.seed)
-            self.spark_model = gbt.fit(df)
+            if self.classifier == 'gbt':
+                from pyspark.ml.classification import GBTClassifier
+                est = GBTClassifier(featuresCol='fv', labelCol='label',
+                                    weightCol='weight',
+                                    maxIter=self.gbt_max_iter,
+                                    maxDepth=self.gbt_max_depth,
+                                    seed=self.seed)
+            else:
+                from pyspark.ml.classification import (
+                    RandomForestClassifier)
+                est = RandomForestClassifier(
+                    featuresCol='fv', labelCol='label', weightCol='weight',
+                    numTrees=self.rf_num_trees,
+                    maxDepth=self.rf_max_depth,
+                    featureSubsetStrategy='sqrt', seed=self.seed)
+            self.spark_model = est.fit(df)
         return self
 
     # -- introspection ----------------------------------------------------
@@ -92,7 +110,8 @@ class Extractor:
         """Per-feature importances as ``[(name, importance)]`` summing
         to 1 (reference paper Table 2 style).
 
-        * ``'gbt'``: Spark ML's impurity-based ``featureImportances``.
+        * ``'gbt'`` / ``'rf'``: Spark ML's impurity-based
+          ``featureImportances``.
         * ``'lr'``: standardized-coefficient magnitudes
           ``|coef_i| * std_i`` -- requires ``gold_blocks_df`` to measure
           the per-feature stds (JVM-side aggregation); without it, raw
@@ -103,7 +122,7 @@ class Extractor:
 
         from .kernels.features import feature_names
         names = feature_names(self.features)
-        if self.classifier == 'gbt':
+        if self.classifier in ('gbt', 'rf'):
             self._require_fitted()
             imp = np.asarray(self.spark_model.featureImportances.toArray())
         else:
@@ -128,8 +147,8 @@ class Extractor:
         if self.classifier == 'lr' and self.model is None:
             from .model import default_model
             self.model = default_model(self.to_extract)
-        if self.classifier == 'gbt' and self.spark_model is None:
-            raise ValueError('gbt Extractor is not fitted')
+        if self.classifier in ('gbt', 'rf') and self.spark_model is None:
+            raise ValueError('%s Extractor is not fitted' % self.classifier)
 
     def predict(self, spans_df):
         """Per-block predictions (Extractor.predict): the exploded blocks
@@ -139,24 +158,24 @@ class Extractor:
             from .operators.blocks_df import blockify_df
             return blockify_df(spans_df, model=self.model,
                                features=self.features)
-        return self._gbt_blocks(spans_df)
+        return self._tree_blocks(spans_df)
 
-    def _gbt_blocks(self, spans_df):
+    def _tree_blocks(self, spans_df):
         from pyspark.ml.functions import array_to_vector
         from .operators.blocks_df import blockify_df
         blocks = blockify_df(spans_df, features=self.features)
         # Score only feature-bearing blocks, then left-join the preds back
-        # so the gbt and lr backends return the SAME per-block row set:
+        # so the tree and lr backends return the SAME per-block row set:
         # unscorable blocks (empty/short docs) keep pred=0, mirroring
         # doc_to_block_rows' preds-None fallback on the lr path.
         scored = (self.spark_model.transform(
             blocks.where(F.size('features') > 0)
             .withColumn('fv', array_to_vector('features')))
             .select('doc_id', 'block_idx',
-                    F.col('prediction').cast('int').alias('_gbt_pred')))
+                    F.col('prediction').cast('int').alias('_tree_pred')))
         return (blocks.join(scored, ['doc_id', 'block_idx'], 'left')
-                .withColumn('pred', F.coalesce('_gbt_pred', F.lit(0)))
-                .drop('_gbt_pred'))
+                .withColumn('pred', F.coalesce('_tree_pred', F.lit(0)))
+                .drop('_tree_pred'))
 
     def extract(self, spans_df, as_blocks=False):
         """Assembled extraction (Extractor.extract).
@@ -172,7 +191,7 @@ class Extractor:
             return _extract(spans_df, model=self.model,
                             features=self.features,
                             to_extract=self.to_extract)
-        kept = self._gbt_blocks(spans_df).where(F.col('pred') == 1)
+        kept = self._tree_blocks(spans_df).where(F.col('pred') == 1)
         assembled = (kept.groupBy('doc_id').agg(
             F.array_join(
                 F.transform(

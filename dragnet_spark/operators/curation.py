@@ -27,6 +27,38 @@ from .text_analysis import (GOPHER_MAX_DUP10GRAM_FRAC,
                             gopher_quality_flags, gopher_repetition_flags)
 
 
+def gate_funnel(docs, text_col='text', id_col='doc_id',
+                max_top2=GOPHER_MAX_TOP2GRAM_FRAC,
+                max_dup10=GOPHER_MAX_DUP10GRAM_FRAC):
+    """Per-stage survivor counts of the curation GATES alone: one row
+    ``(n_total, n_quality_pass, n_repetition_pass, n_both_pass)``.
+
+    The oracle-checkable prefix of :func:`curate_corpus` -- both gates
+    are pure column expressions / doc-keyed aggregations, so DuckDB can
+    re-derive the exact counts (``curation_gates`` in
+    ``__spark_entry__``), pinning the funnel arithmetic that the full
+    pipeline (extraction + MinHash in the loop) can only rows-check.
+    Same composition shape as curate_corpus: narrow quality projection,
+    aggregation-bearing repetition gate joined on doc_id, one global
+    agg of four longs.
+    """
+    base = docs.select(F.col(id_col).alias('doc_id'),
+                       F.col(text_col).alias('text'))
+    quality = (gopher_quality_flags(base)
+               .select('doc_id', F.col('passes').alias('pq')))
+    repetition = (gopher_repetition_flags(base, max_top2=max_top2,
+                                          max_dup10=max_dup10)
+                  .select('doc_id',
+                          F.col('passes_repetition').alias('pr')))
+    gated = quality.join(repetition, 'doc_id')
+    return gated.agg(
+        F.count('*').alias('n_total'),
+        F.sum('pq').alias('n_quality_pass'),
+        F.sum('pr').alias('n_repetition_pass'),
+        F.sum(((F.col('pq') == 1) & (F.col('pr') == 1)).cast('long'))
+        .alias('n_both_pass'))
+
+
 def curate_corpus(docs, text_col='text', id_col='doc_id',
                   dedup_threshold=0.9,
                   max_top2=GOPHER_MAX_TOP2GRAM_FRAC,

@@ -226,6 +226,34 @@ class TestExtractorFacade:
         assert set(r.pred for r in blocks.select('pred').distinct()
                    .collect()) <= {0, 1}
 
+    def test_rf_fit_extract(self, spark, corpus):
+        """RandomForest backend -- the Spark ML analogue of the
+        reference's default ExtraTreesClassifier()
+        (/root/reference/dragnet/extractor.py:48)."""
+        from dragnet_spark.extractor import Extractor
+        spans_df, gold_df = corpus
+        ex = Extractor(classifier='rf').fit(spans_df, gold_df)
+        assert ex.spark_model is not None
+        assert ex.spark_model.getNumTrees == 50
+        out = ex.extract(spans_df)
+        assert out.columns == ['doc_id', 'content_text']
+        assert out.count() == spans_df.select('doc_id').distinct().count()
+        row = token_f1(out, gold_df).collect()[0]
+        assert row['f1'] >= 0.8, row
+        blocks = ex.predict(spans_df)
+        assert set(r.pred for r in blocks.select('pred').distinct()
+                   .collect()) <= {0, 1}
+        # impurity importances: well-formed simplex over the 9 features
+        imps = ex.feature_importances()
+        assert len(imps) == 9
+        assert abs(sum(v for _, v in imps) - 1.0) < 1e-9
+
+    def test_rf_unfitted_raises(self, spark, corpus):
+        from dragnet_spark.extractor import Extractor
+        spans_df, _ = corpus
+        with pytest.raises(ValueError):
+            Extractor(classifier='rf').extract(spans_df)
+
     def test_gbt_unfitted_raises(self, spark, corpus):
         from dragnet_spark.extractor import Extractor
         spans_df, _ = corpus
