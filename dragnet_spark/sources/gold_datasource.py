@@ -125,8 +125,20 @@ class GoldCorrectedWriter(DataSourceWriter):
                 body += '\n%s\n%s' % (_DELIM_LITERAL, row.comments_text)
             # doc_ids carry host/ prefixes ('h000/doc-...'): lay them
             # out as subdirectories so ids round-trip verbatim through
-            # the recursive reader
-            target = os.path.join(self.path, row.doc_id + _SUFFIX)
+            # the recursive reader.  An absolute doc_id or one with
+            # '..' segments would escape the target directory
+            # (os.path.join DISCARDS the base on absolute paths), so
+            # every resolved target must stay under the base
+            # (ADVICE r04).
+            if os.path.isabs(row.doc_id):
+                raise ValueError('absolute doc_id refuses to write: %r'
+                                 % row.doc_id)
+            base = os.path.realpath(self.path)
+            target = os.path.join(base, row.doc_id + _SUFFIX)
+            resolved = os.path.realpath(target)
+            if os.path.commonpath([base, resolved]) != base:
+                raise ValueError('doc_id escapes the target directory: %r'
+                                 % row.doc_id)
             os.makedirs(os.path.dirname(target), exist_ok=True)
             with open(target, 'wb') as f:
                 f.write(body.encode('utf-8'))

@@ -476,6 +476,31 @@ class TestGoldStreamSource:
 
 
 @pytest.mark.spark
+class TestGoldWriterPathSafety:
+    @pytest.mark.parametrize('bad_id', ['../escape', 'h0/../../escape',
+                                        '/tmp/abs-escape'])
+    def test_traversal_doc_ids_fail_the_write(self, spark, tmp_path,
+                                              bad_id):
+        # a doc_id with '..' segments (or an absolute path, which
+        # os.path.join lets REPLACE the base) must fail the task, not
+        # write outside the target directory (ADVICE r04)
+        import os
+        from dragnet_spark.sources.gold_datasource import register
+        register(spark)
+        out = str(tmp_path / 'gold_safe')
+        df = spark.createDataFrame(
+            [(bad_id, 'evil', '')],
+            'doc_id string, content_text string, comments_text string')
+        with pytest.raises(Exception, match='doc_id'):
+            (df.write.format('gold_corrected').mode('append')
+             .option('path', out).save())
+        parent = tmp_path.parent
+        assert not (tmp_path / 'escape.corrected.txt').exists()
+        assert not (parent / 'escape.corrected.txt').exists()
+        assert not os.path.exists('/tmp/abs-escape.corrected.txt')
+
+
+@pytest.mark.spark
 class TestGoldWriterOverwrite:
     def test_overwrite_clears_stale_docs(self, spark, tmp_path):
         from dragnet_spark.sources.gold_datasource import register
