@@ -261,7 +261,14 @@ _ESCAPES = {b'n': b'\n', b'r': b'\r', b't': b'\t', b'b': b'\b',
 
 
 def _decode_literal(raw: bytes) -> str:
-    """Literal string body (between parens) -> text (latin-1 subset)."""
+    """Literal string body (between parens) -> text.
+
+    Bytes default to latin-1 (the writer's own convention, see _esc);
+    a leading UTF-16BE BOM after unescaping switches to UTF-16BE --
+    ISO 32000 7.9.2.2 allows text strings in EITHER encoding inside
+    literal parentheses, and third-party writers (e.g. TeX-family)
+    emit BOM'd literal show strings where this writer would emit a hex
+    string."""
     out = bytearray()
     i = 0
     n = len(raw)
@@ -282,6 +289,8 @@ def _decode_literal(raw: bytes) -> str:
             continue
         out += c
         i += 1
+    if out[:2] == b'\xfe\xff':
+        return out[2:].decode('utf-16-be', 'replace')
     return out.decode('latin-1')
 
 

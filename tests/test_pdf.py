@@ -336,6 +336,96 @@ class TestAdversarialFixtures:
         assert extract_text_runs(doc) == []
 
 
+class TestThirdPartyShapedFixtures:
+    """Cross-generation shapes this repo's writer never emits but
+    third-party producers do (VERDICT r04 #8).  Support matrix:
+
+    * PDF 1.5 cross-reference STREAMS (/Type /XRef, /W-packed binary
+      rows, trailer dict inside the object, no ``trailer`` keyword) --
+      parsed-past: the scanner walks objects linearly and never
+      consults any xref form, so the binary stream is skipped by its
+      /Length like any other opaque stream.
+    * UTF-16BE literal show strings ``(\\xfe\\xff...)`` (ISO 32000
+      7.9.2.2; TeX-family writers) -- decoded: a BOM after unescaping
+      switches _decode_literal to UTF-16BE.
+    * One text/graphics object split ACROSS /Contents array streams
+      (BT..Tf | Tm Tj | ET; spec-legal between tokens, common in
+      page-merging producers) -- parsed: streams concatenate before
+      tokenization, state carries across boundaries.
+    * A literal string token split MID-TOKEN across streams
+      (spec-ILLEGAL, seen from broken mergers) -- contained: the
+      joined bytes re-tokenize, the damaged string may garble but
+      sibling runs survive and nothing raises.
+    """
+
+    PAGE_SKEL = (
+        b'2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n'
+        b'3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents %b >>\nendobj\n')
+
+    def _multi_stream_doc(self, parts, version=b'1.4'):
+        refs = b'[' + b' '.join(b'%d 0 R' % (10 + i)
+                                for i in range(len(parts))) + b']'
+        doc = (b'%PDF-' + version + b'\n'
+               b'1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n'
+               + self.PAGE_SKEL % refs)
+        for i, p in enumerate(parts):
+            doc += ((b'%d 0 obj\n<< /Length %d >>\nstream\n'
+                     % (10 + i, len(p))) + p + b'\nendstream\nendobj\n')
+        return doc
+
+    def test_xref_stream_document_parses(self):
+        # PDF 1.5 cross-reference stream: binary /W [1 2 1] rows,
+        # Flate'd, trailer dict inside the XRef object, startxref at it
+        import zlib as _z
+        payload = b'BT /F1 11 Tf 1 0 0 1 72 700 Tm (xref stream doc) Tj ET'
+        rows = b''.join(
+            bytes([t]) + off.to_bytes(2, 'big') + bytes([g])
+            for t, off, g in [(0, 0, 255), (1, 9, 0), (1, 60, 0),
+                              (1, 120, 0), (1, 180, 0), (1, 240, 0)])
+        xstm = _z.compress(rows)
+        doc = self._multi_stream_doc([payload], version=b'1.5')
+        xref_at = len(doc)
+        doc += ((b'6 0 obj\n<< /Type /XRef /Size 6 /W [1 2 1] '
+                 b'/Root 1 0 R /Filter /FlateDecode /Length %d '
+                 b'>>\nstream\n' % len(xstm))
+                + xstm + b'\nendstream\nendobj\n'
+                + b'startxref\n%d\n%%%%EOF\n' % xref_at)
+        runs = extract_text_runs(doc)
+        assert [r['text'] for r in runs] == ['xref stream doc']
+
+    def test_utf16be_literal_show_string(self):
+        # BOM'd UTF-16BE bytes inside (...) -- the hex-string twin of
+        # this case already round-trips; TeX-family writers use the
+        # literal form
+        text = 'Grüße — 16BE'
+        body = b'\xfe\xff' + text.encode('utf-16-be')
+        assert b'(' not in body and b')' not in body and b'\\' not in body
+        payload = (b'BT /F1 11 Tf 1 0 0 1 72 700 Tm (' + body
+                   + b') Tj ET')
+        runs = extract_text_runs(self._multi_stream_doc([payload]))
+        assert [r['text'] for r in runs] == [text]
+
+    def test_text_object_split_across_content_streams(self):
+        # one BT..ET spanning three /Contents streams; boundaries fall
+        # between tokens (spec-legal) -- position/font state must carry
+        runs = extract_text_runs(self._multi_stream_doc([
+            b'BT /F1 11 Tf',
+            b'1 0 0 1 72 700 Tm (spans) Tj 1 0 0 1 72 680 Tm (streams) Tj',
+            b'ET']))
+        assert [r['text'] for r in runs] == ['spans', 'streams']
+        assert runs[0]['y'] == 700.0 and runs[1]['y'] == 680.0
+
+    def test_mid_token_split_contained(self):
+        # spec-ILLEGAL: a literal string cut across the stream boundary;
+        # the damaged token may garble but siblings survive, no raise
+        runs = extract_text_runs(self._multi_stream_doc([
+            b'BT /F1 11 Tf 1 0 0 1 72 700 Tm (intact one) Tj '
+            b'1 0 0 1 72 680 Tm (cut in ha',
+            b'lf) Tj 1 0 0 1 72 660 Tm (intact two) Tj ET']))
+        texts = [r['text'] for r in runs]
+        assert 'intact one' in texts and 'intact two' in texts
+
+
 def _lzw_encode(data):
     """Greedy TIFF-style LZW encoder (test fixture only): clear code,
     longest-match emission, EarlyChange=1 bit widening, EOD."""
