@@ -1212,6 +1212,34 @@ def q_curation_gates(spark, sf_dir):
                        max_dup10=0.6)
 
 
+def q_text_profile(spark, sf_dir):
+    """The per-document text-analysis profile in one wide hash-checked
+    surface: token counts (punct tokenizer), C4-style quality features
+    (lowercase tokenizer -- its token count rides as n_tokens_lower),
+    language-ID heuristics, and content/token-set fingerprints joined
+    on doc_id.  Each family was previously its own queries() slot; one
+    doc_id-keyed join keeps all four oracle-checked inside the
+    validation harness's 50-entry window."""
+    tc = q_token_count(spark, sf_dir)
+    tq = (q_text_quality(spark, sf_dir)
+          .withColumnRenamed('n_tokens', 'n_tokens_lower')
+          .drop('n_chars_text'))
+    li = q_language_id(spark, sf_dir)
+    fp = q_fingerprints(spark, sf_dir)
+    return (tc.join(tq, 'doc_id').join(li, 'doc_id').join(fp, 'doc_id'))
+
+
+def q_gopher_gates(spark, sf_dir):
+    """Both Gopher gate tables (Rae et al. 2021 A1.1) joined per doc:
+    quality stats + pass flag and repetition fractions + pass flag --
+    one hash-checked row per document covering the full gate surface
+    (the funnel arithmetic over these is curation_gates)."""
+    q = q_gopher_quality(spark, sf_dir).withColumnRenamed(
+        'passes', 'passes_quality')
+    r = q_gopher_repetition(spark, sf_dir)
+    return q.join(r, 'doc_id')
+
+
 def q_events_props(spark, sf_dir):
     """Both semi-structured engines over the same payload aggregation --
     from_json (declared struct schema) and Spark 4 VARIANT
@@ -1269,14 +1297,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'media_feature_extract': q_media_feature_extract,
         'clustered_weninger': q_clustered_weninger,
         # oracle-checked
-        'token_count': q_token_count,
-        'text_quality': q_text_quality,
-        'gopher_quality': q_gopher_quality,
-        'gopher_repetition': q_gopher_repetition,
+        'text_profile': q_text_profile,
+        'gopher_gates': q_gopher_gates,
         'dedup_clusters': q_dedup_clusters,
         'duplicated_passages': q_duplicated_passages,
-        'language_id': q_language_id,
-        'fingerprints': q_fingerprints,
         'dedup_exact': q_dedup_exact,
         'jaccard_pairs': q_jaccard_pairs,
         'ann_topk_bruteforce': q_ann_topk_bruteforce,
@@ -1332,6 +1356,67 @@ def _css_flags_oracle():
              (SELECT unnest(range({len(toks36)})) AS i) r,
              (SELECT {lit} AS tl) t
     """
+
+
+def _token_count_oracle(toks):
+    return f"""
+            SELECT doc_id,
+                   len({toks}) AS n_tokens,
+                   len(list_distinct({toks})) AS n_distinct_tokens,
+                   length(text) AS n_chars_text
+            FROM documents
+        """
+
+
+def _text_quality_oracle(toks_l):
+    return f"""
+            SELECT doc_id,
+                   length(text) AS n_chars_text,
+                   len({toks_l}) AS n_tokens,
+                   (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::double
+                     / greatest(length(text), 1) AS punct_ratio,
+                   len(list_distinct(list_intersect(list_distinct({toks_l}), {_EN_STOP}))) AS en_stopword_hits,
+                   length(text)::double / greatest(len({toks_l}), 1) AS mean_token_len,
+                   CASE WHEN len({toks_l}) >= 10
+                             AND length(text)::double / greatest(len({toks_l}), 1) < 12.0
+                        THEN 1 ELSE 0 END AS quality_ok
+            FROM documents
+        """
+
+
+def _language_id_oracle(toks_l):
+    return f"""
+            WITH t AS (
+              SELECT doc_id, text, list_distinct({toks_l}) AS dt,
+                     length(regexp_replace(text, '[\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) AS non_cjk
+              FROM documents
+            ), h AS (
+              SELECT doc_id, text, non_cjk,
+                     len(list_distinct(list_intersect(dt, {_EN_STOP}))) AS en_hits,
+                     len(list_distinct(list_intersect(dt, {_DE_STOP}))) AS de_hits,
+                     len(list_distinct(list_intersect(dt, {_FR_STOP}))) AS fr_hits,
+                     len(list_distinct(list_intersect(dt, {_ES_STOP}))) AS es_hits,
+                     (length(text) - non_cjk)::double / greatest(length(text), 1) AS cjk_ratio
+              FROM t
+            )
+            SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+                   round(cjk_ratio, 6) AS cjk_ratio,
+                   CASE WHEN cjk_ratio > 0.2 THEN 'zh'
+                        WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+                        WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+                        WHEN fr_hits >= es_hits THEN 'fr'
+                        ELSE 'es' END AS pred_lang
+            FROM h
+        """
+
+
+def _fingerprints_oracle(toks_l):
+    return f"""
+            SELECT doc_id,
+                   md5(text) AS content_sig,
+                   md5(array_to_string(list_sort(list_distinct({toks_l})), ' ')) AS tokenset_sig
+            FROM documents
+        """
 
 
 def _gopher_quality_oracle():
@@ -1444,25 +1529,20 @@ def oracle_sql() -> dict[str, str]:
     toks = _TOKS.format(src='text')
     toks_l = _TOKS_L.format(src='text')
     return {
-        'token_count': f"""
-            SELECT doc_id,
-                   len({toks}) AS n_tokens,
-                   len(list_distinct({toks})) AS n_distinct_tokens,
-                   length(text) AS n_chars_text
-            FROM documents
-        """,
-        'text_quality': f"""
-            SELECT doc_id,
-                   length(text) AS n_chars_text,
-                   len({toks_l}) AS n_tokens,
-                   (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::double
-                     / greatest(length(text), 1) AS punct_ratio,
-                   len(list_distinct(list_intersect(list_distinct({toks_l}), {_EN_STOP}))) AS en_stopword_hits,
-                   length(text)::double / greatest(len({toks_l}), 1) AS mean_token_len,
-                   CASE WHEN len({toks_l}) >= 10
-                             AND length(text)::double / greatest(len({toks_l}), 1) < 12.0
-                        THEN 1 ELSE 0 END AS quality_ok
-            FROM documents
+        'text_profile': f"""
+            WITH tc AS ({_token_count_oracle(toks)}),
+            tq AS ({_text_quality_oracle(toks_l)}),
+            li AS ({_language_id_oracle(toks_l)}),
+            fp AS ({_fingerprints_oracle(toks_l)})
+            SELECT tc.doc_id, tc.n_tokens, tc.n_distinct_tokens,
+                   tc.n_chars_text,
+                   tq.n_tokens AS n_tokens_lower, tq.punct_ratio,
+                   tq.en_stopword_hits, tq.mean_token_len, tq.quality_ok,
+                   li.en_hits, li.de_hits, li.fr_hits, li.es_hits,
+                   li.cjk_ratio, li.pred_lang,
+                   fp.content_sig, fp.tokenset_sig
+            FROM tc JOIN tq USING (doc_id) JOIN li USING (doc_id)
+                    JOIN fp USING (doc_id)
         """,
         'duplicated_passages': f"""
             WITH planted AS (
@@ -1486,8 +1566,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             HAVING count(DISTINCT doc_id) >= 2
         """,
-        'gopher_quality': _gopher_quality_oracle(),
-        'gopher_repetition': _gopher_repetition_oracle(),
+        'gopher_gates': f"""
+            WITH q AS ({_gopher_quality_oracle()}),
+            r AS ({_gopher_repetition_oracle()})
+            SELECT q.doc_id, q.n_words, q.mean_word_len, q.symbol_ratio,
+                   q.alpha_word_frac, q.stopword_hits,
+                   q.passes AS passes_quality,
+                   r.top_2gram_char_frac, r.dup_10gram_char_frac,
+                   r.passes_repetition
+            FROM q JOIN r USING (doc_id)
+        """,
         'curation_gates': f"""
             WITH q AS ({_gopher_quality_oracle()}),
             r AS ({_gopher_repetition_oracle(max_dup10='0.6')})
@@ -1499,35 +1587,6 @@ def oracle_sql() -> dict[str, str]:
                                  AND r.passes_repetition = 1
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_both_pass
             FROM q JOIN r USING (doc_id)
-        """,
-        'language_id': f"""
-            WITH t AS (
-              SELECT doc_id, text, list_distinct({toks_l}) AS dt,
-                     length(regexp_replace(text, '[\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) AS non_cjk
-              FROM documents
-            ), h AS (
-              SELECT doc_id, text, non_cjk,
-                     len(list_distinct(list_intersect(dt, {_EN_STOP}))) AS en_hits,
-                     len(list_distinct(list_intersect(dt, {_DE_STOP}))) AS de_hits,
-                     len(list_distinct(list_intersect(dt, {_FR_STOP}))) AS fr_hits,
-                     len(list_distinct(list_intersect(dt, {_ES_STOP}))) AS es_hits,
-                     (length(text) - non_cjk)::double / greatest(length(text), 1) AS cjk_ratio
-              FROM t
-            )
-            SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
-                   round(cjk_ratio, 6) AS cjk_ratio,
-                   CASE WHEN cjk_ratio > 0.2 THEN 'zh'
-                        WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
-                        WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
-                        WHEN fr_hits >= es_hits THEN 'fr'
-                        ELSE 'es' END AS pred_lang
-            FROM h
-        """,
-        'fingerprints': f"""
-            SELECT doc_id,
-                   md5(text) AS content_sig,
-                   md5(array_to_string(list_sort(list_distinct({toks_l})), ' ')) AS tokenset_sig
-            FROM documents
         """,
         'dedup_exact': """
             SELECT md5(text) AS content_sig,
