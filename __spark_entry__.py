@@ -1212,6 +1212,75 @@ def q_curation_gates(spark, sf_dir):
                        max_dup10=0.6)
 
 
+def q_decontamination(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix C style, 13-gram
+    collision rule): ~4% of the corpus (doc_id % 25 == 3) plays the
+    held-out benchmark; every corpus doc sharing a 13-token gram with
+    it is flagged.  The benchmark docs themselves flag (the exact-leak
+    case), as do near-template re-skins.  Broadcast gram-set join --
+    the corpus side never shuffles gram text, only (doc_id, 2 longs)
+    into the per-doc agg."""
+    from dragnet_spark.operators.decontamination import decontaminate
+    docs = _docs(spark, sf_dir).select('doc_id', 'text')
+    bench = docs.where(F.col('doc_id') % 25 == 3)
+    return decontaminate(docs, bench)
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction: deterministic email/IP/phone strings are planted
+    into every 7th document (both engines build the identical planted
+    text), then scrubbed by the sequential regexp chain; the md5 of the
+    scrubbed text hash-checks the exact replacements, not just the
+    counts."""
+    from dragnet_spark.operators.pii import scrub_pii
+    docs = _docs(spark, sf_dir).select('doc_id', 'text')
+    planted = docs.select(
+        'doc_id',
+        F.when(
+            F.col('doc_id') % 7 == 0,
+            F.concat(F.col('text'),
+                     F.lit(' Contact user'), F.col('doc_id'),
+                     F.lit('@example.com or 10.0.'),
+                     F.col('doc_id') % 256,
+                     F.lit('.7 or call +1 555-01'),
+                     F.lpad((F.col('doc_id') % 100).cast('string'),
+                            2, '0'),
+                     F.lit(' now.'))
+        ).otherwise(F.col('text')).alias('text'))
+    out = scrub_pii(planted)
+    return out.select(
+        'doc_id', 'n_email', 'n_ipv4', 'n_phone', 'n_pii',
+        F.length('scrubbed_text').alias('scrubbed_len'),
+        F.md5(F.col('scrubbed_text').cast('binary')).alias('scrubbed_sig'))
+
+
+def q_streaming_stateful_totals(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): running
+    per-user totals carried in the state store across micro-batches
+    (maxFilesPerTrigger=1 over a 4-file copy of events, so state carry
+    is real).  The final emits must equal the plain batch GROUP BY --
+    the DuckDB oracle."""
+    import tempfile
+    import uuid
+    from dragnet_spark.streaming.stateful_stream import (
+        run_stateful_user_totals)
+    base = tempfile.mkdtemp(prefix='stateful_q_')
+    prev_tz = spark.conf.get('spark.sql.session.timeZone')
+    spark.conf.set('spark.sql.session.timeZone', 'UTC')
+    try:
+        (spark.read.parquet(f'{sf_dir}/events.parquet')
+         .withColumn('ts', F.col('ts').cast('timestamp'))
+         .repartition(4).write.mode('overwrite').parquet(f'{base}/src'))
+        res = run_stateful_user_totals(
+            spark, f'{base}/src', f'{base}/chk_%s' % uuid.uuid4().hex[:8],
+            f'{base}/out')
+        return res.select('user_id', 'n_events',
+                          F.round('total_value', 2).alias('total_value'),
+                          'last_seen_us')
+    finally:
+        spark.conf.set('spark.sql.session.timeZone', prev_tz)
+
+
 def q_text_profile(spark, sf_dir):
     """The per-document text-analysis profile in one wide hash-checked
     surface: token counts (punct tokenizer), C4-style quality features
@@ -1322,6 +1391,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'streaming_sessions': q_streaming_sessions,
         'training_corpus_funnel': q_training_corpus_funnel,
         'curation_gates': q_curation_gates,
+        'decontamination': q_decontamination,
+        'pii_scrub': q_pii_scrub,
+        'streaming_stateful_totals': q_streaming_stateful_totals,
         'events_props': q_events_props,
         'gold_corrected_source': q_gold_corrected_source,
         'sample_hash_bucket': q_sample_hash_bucket,
@@ -1565,6 +1637,91 @@ def oracle_sql() -> dict[str, str]:
             FROM g
             GROUP BY 1
             HAVING count(DISTINCT doc_id) >= 2
+        """,
+        'decontamination': f"""
+            WITH bt AS (
+              SELECT doc_id, {_TOKS.format(src='text')} AS toks
+              FROM documents WHERE doc_id % 25 = 3
+            ), bg AS (
+              SELECT DISTINCT
+                     md5(array_to_string(toks[i + 1:i + 13], ' '))
+                       AS gram_sig
+              FROM bt, unnest(range(greatest(len(toks) - 12, 0))) AS u(i)
+            ), dt AS (
+              SELECT doc_id, {_TOKS.format(src='text')} AS toks
+              FROM documents
+            ), dg AS (
+              SELECT doc_id,
+                     md5(array_to_string(toks[i + 1:i + 13], ' '))
+                       AS gram_sig
+              FROM dt, unnest(range(greatest(len(toks) - 12, 0))) AS u(i)
+            ), hits AS (
+              SELECT dg.doc_id,
+                     count(DISTINCT dg.gram_sig) AS g,
+                     count(*) AS o
+              FROM dg JOIN bg USING (gram_sig)
+              GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(g, 0) AS n_overlap_grams,
+                   coalesce(o, 0) AS n_overlap_occurrences,
+                   CAST(CASE WHEN coalesce(g, 0) > 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS contaminated
+            FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id
+        """,
+        'pii_scrub': r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN text || ' Contact user' || doc_id
+                               || '@example.com or 10.0.'
+                               || (doc_id % 256) || '.7 or call +1 555-01'
+                               || lpad(CAST(doc_id % 100 AS VARCHAR),
+                                       2, '0') || ' now.'
+                          ELSE text END AS text
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id, text,
+                     len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS n_email,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1
+              FROM planted
+            ), s2 AS (
+              SELECT doc_id, n_email,
+                     len(regexp_extract_all(t1,
+                       '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4,
+                     regexp_replace(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b',
+                                    '<IP>', 'g') AS t2
+              FROM s1
+            ), s3 AS (
+              SELECT doc_id, n_email, n_ipv4,
+                     len(regexp_extract_all(t2,
+                       '\+\d{1,3}[ -]\d(?:[\d -]{5,12}\d)?\b'))
+                       AS n_phone,
+                     regexp_replace(t2,
+                       '\+\d{1,3}[ -]\d(?:[\d -]{5,12}\d)?\b',
+                       '<PHONE>', 'g') AS t3
+              FROM s2
+            )
+            SELECT doc_id,
+                   CAST(n_email AS BIGINT) AS n_email,
+                   CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+                   CAST(n_phone AS BIGINT) AS n_phone,
+                   CAST(n_email + n_ipv4 + n_phone AS BIGINT) AS n_pii,
+                   length(t3) AS scrubbed_len,
+                   md5(t3) AS scrubbed_sig
+            FROM s3
+        """,
+        'streaming_stateful_totals': """
+            SELECT user_id,
+                   count(*) AS n_events,
+                   round(sum(CAST(value AS DECIMAL(18,2)))::double, 2)
+                     AS total_value,
+                   max(epoch_us(ts)) AS last_seen_us
+            FROM events GROUP BY 1
         """,
         'gopher_gates': f"""
             WITH q AS ({_gopher_quality_oracle()}),

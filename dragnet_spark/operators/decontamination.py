@@ -1,0 +1,81 @@
+"""Benchmark decontamination: flag corpus documents that share long
+token n-grams with an evaluation/test corpus.
+
+The standard pre-training hygiene stage (GPT-3 appendix C / PaLM /
+Llama style): any training document containing a long n-gram that also
+appears in a benchmark is contaminated -- it would leak eval answers
+into the model.  The canonical rule is a 13-token gram ("dirty" on any
+collision), which this module implements exactly; ``n`` is a parameter
+because published pipelines vary (8..13).
+
+Scale shape: the benchmark side is SMALL (test sets are thousands of
+documents), so its distinct gram-signature set broadcasts; the corpus
+side never shuffles -- each doc's grams are built in one codegen
+projection behind a collapse barrier (tokenize once per doc, not per
+gram -- the ``duplicated_passages`` lesson), exploded, and
+broadcast-joined.  Per-doc aggregation shuffles only (doc_id, 2 longs).
+At 10^12 docs this is a map-side join + one thin doc_id-keyed agg.
+Signatures are md5 of the gram text so the DuckDB oracle
+(``decontamination`` in ``__spark_entry__``) reproduces them exactly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+DECON_NGRAM = 13
+
+
+def _gram_rows(df, text_col, id_col, n, out_id):
+    """(out_id, gram_sig) rows: md5-signed token n-grams, tokenized
+    ONCE per row behind an explode(array(1)) collapse barrier."""
+    raw = "array_remove(split(%s, '[^a-zA-Z0-9]+'), '')" % text_col
+    tk = (df.select(F.col(id_col).alias(out_id),
+                    F.expr(raw).alias('_toks'),
+                    F.explode(F.array(F.lit(1))).alias('_b'))
+          .drop('_b'))
+    grams = F.when(
+        F.size('_toks') >= n,
+        F.expr("transform(sequence(0, size(_toks) - {n}), "
+               "i -> array_join(slice(_toks, i + 1, {n}), ' '))"
+               .format(n=n))
+    ).otherwise(F.array())
+    return (tk.select(out_id, F.explode(grams).alias('_g'))
+            .select(out_id,
+                    F.md5(F.col('_g').cast('binary')).alias('gram_sig')))
+
+
+def benchmark_ngrams(bench_df, text_col='text', id_col='doc_id',
+                     n=DECON_NGRAM):
+    """Distinct n-gram signature set of a benchmark corpus (the small,
+    broadcastable side)."""
+    return (_gram_rows(bench_df, text_col, id_col, n, '_bid')
+            .select('gram_sig').distinct())
+
+
+def decontaminate(docs, bench_df, text_col='text', id_col='doc_id',
+                  n=DECON_NGRAM):
+    """Per-document contamination report vs a benchmark corpus.
+
+    One row per input doc: ``(doc_id, n_overlap_grams (distinct
+    benchmark grams hit), n_overlap_occurrences (total gram positions
+    hit), contaminated)``.  Clean docs report zeros -- the report is a
+    per-doc decision table (filter ``contaminated = 0`` for the clean
+    corpus), never a silently shrunken row set.
+    """
+    bench = benchmark_ngrams(bench_df, text_col=text_col, id_col=id_col,
+                             n=n)
+    doc_grams = _gram_rows(docs, text_col, id_col, n, '_id')
+    hits = (doc_grams.join(F.broadcast(bench), 'gram_sig')
+            .groupBy('_id')
+            .agg(F.countDistinct('gram_sig').alias('n_overlap_grams'),
+                 F.count('*').alias('n_overlap_occurrences')))
+    return (docs.select(F.col(id_col).alias('_id'))
+            .join(hits, '_id', 'left')
+            .select(F.col('_id').alias(id_col),
+                    F.coalesce('n_overlap_grams', F.lit(0))
+                    .alias('n_overlap_grams'),
+                    F.coalesce('n_overlap_occurrences', F.lit(0))
+                    .alias('n_overlap_occurrences'),
+                    (F.coalesce('n_overlap_grams', F.lit(0)) > 0)
+                    .cast('long').alias('contaminated')))

@@ -1,0 +1,144 @@
+"""Round-5 pipeline additions: benchmark decontamination, PII
+scrubbing, curation gate funnel, and the applyInPandasWithState
+stateful streaming operator."""
+
+import pytest
+
+import pyspark.sql.functions as F
+
+
+@pytest.mark.spark
+class TestDecontamination:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, 'doc_id long, text string')
+
+    def test_exact_benchmark_doc_flagged_and_clean_doc_not(self, spark):
+        from dragnet_spark.operators.decontamination import decontaminate
+        bench_text = ' '.join('tok%d' % i for i in range(20))
+        clean_text = ' '.join('other%d' % i for i in range(20))
+        docs = self._docs(spark, [(1, bench_text), (2, clean_text)])
+        bench = self._docs(spark, [(100, bench_text)])
+        out = {r.doc_id: r for r in decontaminate(docs, bench).collect()}
+        assert out[1].contaminated == 1
+        # 20 tokens -> 8 distinct 13-grams, all hit
+        assert out[1].n_overlap_grams == 8
+        assert out[2].contaminated == 0
+        assert out[2].n_overlap_grams == 0
+
+    def test_partial_overlap_needs_full_ngram(self, spark):
+        from dragnet_spark.operators.decontamination import decontaminate
+        bench_text = ' '.join('tok%d' % i for i in range(13))
+        # 12-token shared prefix + divergence: no full 13-gram collision
+        near = ' '.join('tok%d' % i for i in range(12)) + ' DIFFERENT'
+        docs = self._docs(spark, [(1, near)])
+        bench = self._docs(spark, [(100, bench_text)])
+        row = decontaminate(docs, bench).collect()[0]
+        assert row.contaminated == 0
+
+    def test_short_docs_report_zeros(self, spark):
+        from dragnet_spark.operators.decontamination import decontaminate
+        docs = self._docs(spark, [(1, 'only five tokens right here')])
+        bench = self._docs(spark, [(100, 'only five tokens right here')])
+        row = decontaminate(docs, bench).collect()[0]
+        assert (row.n_overlap_grams, row.contaminated) == (0, 0)
+
+    def test_occurrences_count_every_position(self, spark):
+        from dragnet_spark.operators.decontamination import decontaminate
+        gram = ' '.join('tok%d' % i for i in range(13))
+        docs = self._docs(spark, [(1, gram + ' ' + gram)])
+        bench = self._docs(spark, [(100, gram)])
+        row = decontaminate(docs, bench).collect()[0]
+        # the doubled doc contains the benchmark gram at positions 0 and
+        # 13 (interior grams mixing both copies don't exist in the
+        # benchmark set)
+        assert row.n_overlap_grams == 1
+        assert row.n_overlap_occurrences == 2
+
+
+@pytest.mark.spark
+class TestPiiScrub:
+    def test_each_rule_and_total(self, spark):
+        from dragnet_spark.operators.pii import scrub_pii
+        df = spark.createDataFrame(
+            [(1, 'mail a.b-c_d@ex-ample.co.uk and 192.168.0.1 '
+                 'then +44 20 7946 0958 bye')],
+            'doc_id long, text string')
+        row = scrub_pii(df).collect()[0]
+        assert (row.n_email, row.n_ipv4, row.n_phone) == (1, 1, 1)
+        assert row.n_pii == 3
+        assert row.scrubbed_text == ('mail <EMAIL> and <IP> '
+                                     'then <PHONE> bye')
+
+    def test_sequential_rules_do_not_double_count(self, spark):
+        from dragnet_spark.operators.pii import scrub_pii
+        # the email's digit run must not ALSO count as a phone number
+        # after the email rule consumed it: '+1 555-0100@example.com'
+        # yields email='555-0100@example.com', and the leftover '+1 '
+        # no longer completes the phone pattern
+        df = spark.createDataFrame(
+            [(1, 'call +1 555-0100@example.com now')],
+            'doc_id long, text string')
+        row = scrub_pii(df).collect()[0]
+        assert row.n_email == 1
+        assert row.n_ipv4 == 0 and row.n_phone == 0
+        assert row.scrubbed_text == 'call +1 <EMAIL> now'
+
+    def test_clean_text_untouched(self, spark):
+        from dragnet_spark.operators.pii import scrub_pii
+        txt = 'nothing sensitive here v1.2 at 5pm'
+        df = spark.createDataFrame([(1, txt)], 'doc_id long, text string')
+        row = scrub_pii(df).collect()[0]
+        assert row.scrubbed_text == txt and row.n_pii == 0
+
+
+@pytest.mark.spark
+class TestGateFunnel:
+    def test_counts_match_flag_tables(self, spark, sf_dir):
+        from dragnet_spark.operators.curation import gate_funnel
+        from dragnet_spark.operators.text_analysis import (
+            gopher_quality_flags, gopher_repetition_flags)
+        docs = (spark.read.parquet(f'{sf_dir}/documents.parquet')
+                .select('doc_id', 'text'))
+        row = gate_funnel(docs, max_dup10=0.6).collect()[0]
+        q = gopher_quality_flags(docs).agg(
+            F.sum('passes')).collect()[0][0]
+        r = gopher_repetition_flags(docs, max_dup10=0.6).agg(
+            F.sum('passes_repetition')).collect()[0][0]
+        assert row.n_total == docs.count()
+        assert row.n_quality_pass == q
+        assert row.n_repetition_pass == r
+        assert row.n_both_pass <= min(q, r)
+
+
+@pytest.mark.spark
+class TestStatefulStream:
+    def test_state_carries_across_micro_batches(self, spark, sf_dir,
+                                                tmp_path):
+        from dragnet_spark.streaming.stateful_stream import (
+            run_stateful_user_totals)
+        prev_tz = spark.conf.get('spark.sql.session.timeZone')
+        spark.conf.set('spark.sql.session.timeZone', 'UTC')
+        try:
+            ev = (spark.read.parquet(f'{sf_dir}/events.parquet')
+                  .withColumn('ts', F.col('ts').cast('timestamp')))
+            (ev.repartition(4).write.mode('overwrite')
+             .parquet(str(tmp_path / 'src')))
+            res = run_stateful_user_totals(
+                spark, str(tmp_path / 'src'), str(tmp_path / 'chk'),
+                str(tmp_path / 'out'))
+            got = {r.user_id: r for r in res.collect()}
+            exp = {r.user_id: r for r in ev.groupBy('user_id').agg(
+                F.count('*').alias('n_events'),
+                F.sum(F.col('value').cast('decimal(18,2)'))
+                .cast('double').alias('total_value')).collect()}
+            assert set(got) == set(exp)
+            for uid, e in exp.items():
+                assert got[uid].n_events == e.n_events
+                assert abs(got[uid].total_value - e.total_value) < 1e-9
+            # state genuinely crossed micro-batches: the update-mode
+            # sink saw emits from more than one epoch
+            epochs = (spark.read.parquet(str(tmp_path / 'out'))
+                      .select('_epoch').distinct().count())
+            assert epochs > 1
+        finally:
+            spark.conf.set('spark.sql.session.timeZone', prev_tz)
