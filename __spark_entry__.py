@@ -1281,6 +1281,16 @@ def q_streaming_stateful_totals(spark, sf_dir):
         spark.conf.set('spark.sql.session.timeZone', prev_tz)
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Fixed-window chunking (128-token windows, stride 96): the
+    sequence-packing prep stage.  One narrow codegen projection +
+    posexplode, tokenize-once barrier, chunks carried as md5 sig +
+    length (thin rows); the full-window/short-tail arithmetic is
+    hash-checked against DuckDB."""
+    from dragnet_spark.operators.chunking import chunk_documents
+    return chunk_documents(_docs(spark, sf_dir).select('doc_id', 'text'))
+
+
 def q_text_profile(spark, sf_dir):
     """The per-document text-analysis profile in one wide hash-checked
     surface: token counts (punct tokenizer), C4-style quality features
@@ -1393,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'curation_gates': q_curation_gates,
         'decontamination': q_decontamination,
         'pii_scrub': q_pii_scrub,
+        'chunk_documents': q_chunk_documents,
         'streaming_stateful_totals': q_streaming_stateful_totals,
         'events_props': q_events_props,
         'gold_corrected_source': q_gold_corrected_source,
@@ -1637,6 +1648,22 @@ def oracle_sql() -> dict[str, str]:
             FROM g
             GROUP BY 1
             HAVING count(DISTINCT doc_id) >= 2
+        """,
+        'chunk_documents': f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS.format(src='text')} AS toks
+              FROM documents
+            ), n AS (
+              SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+            ), c AS (
+              SELECT doc_id, u.i AS chunk_idx,
+                     toks[u.i * 96 + 1:u.i * 96 + 128] AS ct
+              FROM n, unnest(range((n + 96 - 1) // 96)) AS u(i)
+            )
+            SELECT doc_id, chunk_idx,
+                   CAST(len(ct) AS BIGINT) AS n_chunk_tokens,
+                   md5(array_to_string(ct, ' ')) AS chunk_sig
+            FROM c
         """,
         'decontamination': f"""
             WITH bt AS (

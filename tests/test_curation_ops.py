@@ -92,6 +92,51 @@ class TestPiiScrub:
 
 
 @pytest.mark.spark
+class TestChunkDocuments:
+    def test_window_arithmetic_and_short_tail(self, spark):
+        from dragnet_spark.operators.chunking import chunk_documents
+        text = ' '.join('t%d' % i for i in range(300))
+        df = spark.createDataFrame([(1, text)], 'doc_id long, text string')
+        rows = sorted(chunk_documents(df, keep_text=True).collect(),
+                      key=lambda r: r.chunk_idx)
+        # ceil(300/96) = 4 windows: 128, 128, 108, 12 tokens
+        assert [r.n_chunk_tokens for r in rows] == [128, 128, 108, 12]
+        assert rows[1].chunk_text.split()[0] == 't96'   # start = stride
+        assert rows[3].chunk_text.split()[-1] == 't299'  # tail kept
+
+    def test_every_token_covered(self, spark):
+        from dragnet_spark.operators.chunking import chunk_documents
+        text = ' '.join('t%d' % i for i in range(257))
+        df = spark.createDataFrame([(1, text)], 'doc_id long, text string')
+        rows = chunk_documents(df, keep_text=True).collect()
+        covered = set()
+        for r in rows:
+            covered.update(r.chunk_text.split())
+        assert covered == {'t%d' % i for i in range(257)}
+
+    def test_partition_mode_and_empty_doc(self, spark):
+        from dragnet_spark.operators.chunking import chunk_documents
+        df = spark.createDataFrame(
+            [(1, ' '.join('t%d' % i for i in range(10))), (2, ' ...')],
+            'doc_id long, text string')
+        rows = chunk_documents(df, chunk_tokens=4, stride=4,
+                               keep_text=True).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r.n_chunk_tokens)
+        assert sorted(by_doc[1]) == [2, 4, 4]  # non-overlapping partition
+        assert 2 not in by_doc                 # token-less doc: no rows
+
+    def test_invalid_stride_raises(self, spark):
+        from dragnet_spark.operators.chunking import chunk_documents
+        df = spark.createDataFrame([(1, 'x')], 'doc_id long, text string')
+        with pytest.raises(ValueError):
+            chunk_documents(df, chunk_tokens=4, stride=5)
+        with pytest.raises(ValueError):
+            chunk_documents(df, chunk_tokens=4, stride=0)
+
+
+@pytest.mark.spark
 class TestGateFunnel:
     def test_counts_match_flag_tables(self, spark, sf_dir):
         from dragnet_spark.operators.curation import gate_funnel
