@@ -1726,10 +1726,10 @@ def oracle_sql() -> dict[str, str]:
             ), s3 AS (
               SELECT doc_id, n_email, n_ipv4,
                      len(regexp_extract_all(t2,
-                       '\+\d{1,3}[ -]\d(?:[\d -]{5,12}\d)?\b'))
+                       '\+\d{1,3}[ -]?(?:\d[ -]?){5,12}\d\b'))
                        AS n_phone,
                      regexp_replace(t2,
-                       '\+\d{1,3}[ -]\d(?:[\d -]{5,12}\d)?\b',
+                       '\+\d{1,3}[ -]?(?:\d[ -]?){5,12}\d\b',
                        '<PHONE>', 'g') AS t3
               FROM s2
             )

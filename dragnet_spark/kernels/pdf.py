@@ -72,8 +72,14 @@ def _esc(s: str) -> str:
     fixtures exist to exercise the *pipeline* on non-Latin text, not
     to produce viewer-conformant PDFs (ADVICE r03)."""
     try:
-        s.encode('latin-1')
+        raw = s.encode('latin-1')
     except UnicodeEncodeError:
+        return '<FEFF%s>' % s.encode('utf-16-be').hex().upper()
+    if raw[:2] == b'\xfe\xff':
+        # latin-1 text that HAPPENS to start with the UTF-16BE BOM
+        # bytes would be mis-sniffed by _decode_literal (which honors
+        # the BOM for third-party writers) -- route it through the
+        # BOM'd hex form so the round trip stays exact
         return '<FEFF%s>' % s.encode('utf-16-be').hex().upper()
     return '(%s)' % (s.replace('\\', r'\\')
                      .replace('(', r'\(').replace(')', r'\)'))

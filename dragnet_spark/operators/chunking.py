@@ -32,11 +32,8 @@ def chunk_documents(df, text_col='text', id_col='doc_id',
     chunk_sig[, chunk_text])``.  Token-less docs emit no rows."""
     if not 0 < stride <= chunk_tokens:
         raise ValueError('need 0 < stride <= chunk_tokens')
-    raw = "array_remove(split(%s, '[^a-zA-Z0-9]+'), '')" % text_col
-    tk = (df.select(F.col(id_col).alias('_id'),
-                    F.expr(raw).alias('_toks'),
-                    F.explode(F.array(F.lit(1))).alias('_b'))
-          .drop('_b'))
+    from .text_analysis import tokens_barrier
+    tk = tokens_barrier(df, text_col=text_col, id_col=id_col)
     # n_chunks = ceil(n / stride) via integer arithmetic -- identical
     # in the DuckDB oracle; every start < n
     chunks = F.when(

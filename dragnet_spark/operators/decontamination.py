@@ -28,12 +28,10 @@ DECON_NGRAM = 13
 
 def _gram_rows(df, text_col, id_col, n, out_id):
     """(out_id, gram_sig) rows: md5-signed token n-grams, tokenized
-    ONCE per row behind an explode(array(1)) collapse barrier."""
-    raw = "array_remove(split(%s, '[^a-zA-Z0-9]+'), '')" % text_col
-    tk = (df.select(F.col(id_col).alias(out_id),
-                    F.expr(raw).alias('_toks'),
-                    F.explode(F.array(F.lit(1))).alias('_b'))
-          .drop('_b'))
+    ONCE per row behind the shared collapse barrier."""
+    from .text_analysis import tokens_barrier
+    tk = tokens_barrier(df, text_col=text_col, id_col=id_col,
+                        out_id=out_id)
     grams = F.when(
         F.size('_toks') >= n,
         F.expr("transform(sequence(0, size(_toks) - {n}), "

@@ -407,11 +407,8 @@ def duplicated_passages(df, text_col='text', id_col='doc_id',
     behind the barrier ``_toks`` is a bound attribute, tokenized once
     per document.
     """
-    raw = "array_remove(split(%s, '[^a-zA-Z0-9]+'), '')" % text_col
-    tk = (df.select(F.col(id_col).alias('_id'),
-                    F.expr(raw).alias('_toks'),
-                    F.explode(F.array(F.lit(1))).alias('_b'))
-          .drop('_b'))
+    from .text_analysis import tokens_barrier
+    tk = tokens_barrier(df, text_col=text_col, id_col=id_col)
     grams = F.when(
         F.size('_toks') >= n,
         F.expr("transform(sequence(0, size(_toks) - {n}), "

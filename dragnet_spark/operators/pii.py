@@ -26,8 +26,12 @@ PII_RULES = (
     ('email', r'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
      '<EMAIL>'),
     ('ipv4', r'\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>'),
-    # international-ish: +CC NNN... with separators, 8-15 digits total
-    ('phone', r'\+\d{1,3}[ -]\d(?:[\d -]{5,12}\d)?\b', '<PHONE>'),
+    # international-ish: +CC then 6-13 subscriber digits with optional
+    # single separators (7-16 digits total).  Every repeat unit LEADS
+    # with a digit, so separator-only interiors can't match, and the
+    # mandatory {5,12} tail keeps '+3 4'-style fragments (temperatures,
+    # scores, diff hunks) out of the redaction.
+    ('phone', r'\+\d{1,3}[ -]?(?:\d[ -]?){5,12}\d\b', '<PHONE>'),
 )
 
 

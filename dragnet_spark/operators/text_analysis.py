@@ -28,6 +28,27 @@ def tokens_col(col, lower=False):
     return F.array_remove(F.split(c, TOKEN_PATTERN), '')
 
 
+def tokens_barrier(df, text_col='text', id_col='doc_id', out_id='_id',
+                   lower=False, toks_col='_toks'):
+    """``(out_id, toks_col)`` with the token array MATERIALIZED behind
+    an ``explode(array(1))`` collapse barrier.
+
+    The canonical prelude for any operator that maps a lambda over the
+    token array (n-grams, chunk windows): lambda bodies are opaque to
+    Catalyst subexpression elimination, so an inline tokenizer
+    expression is re-evaluated once PER ELEMENT (measured ~10-20x on
+    passage mining); behind the Generate barrier the tokens are a bound
+    attribute, computed once per row.  One shared definition keeps the
+    tokenizer in lockstep with :func:`tokens_col` and the DuckDB
+    oracles that re-derive it.
+    """
+    return (df.select(F.col(id_col).alias(out_id),
+                      tokens_col(F.col(text_col), lower=lower)
+                      .alias(toks_col),
+                      F.explode(F.array(F.lit(1))).alias('_b'))
+            .drop('_b'))
+
+
 def token_counts(df, text_col='text'):
     """Whitespace/punct token counts + distinct counts per document."""
     toks = tokens_col(F.col(text_col))

@@ -74,7 +74,11 @@ def run_stateful_user_totals(spark, src_path, chk_path, out_path,
              .parquet(out_path))
          .trigger(availableNow=True).start())
     q.awaitTermination()
-    emitted = spark.read.parquet(out_path)
+    # foreachBatch is AT-LEAST-ONCE: a retried micro-batch appends its
+    # (user, epoch) rows again, so dedup on the emit key -- duplicate
+    # rows are byte-identical (same state fold), never conflicting
+    emitted = (spark.read.parquet(out_path)
+               .dropDuplicates(['user_id', '_epoch']))
     latest = (emitted.groupBy('user_id')
               .agg(F.max('_epoch').alias('_epoch')))
     return (emitted.join(latest, ['user_id', '_epoch'])

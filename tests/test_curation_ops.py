@@ -90,6 +90,16 @@ class TestPiiScrub:
         row = scrub_pii(df).collect()[0]
         assert row.scrubbed_text == txt and row.n_pii == 0
 
+    def test_short_plus_fragments_not_redacted(self, spark):
+        # review r05: the old optional-tail phone pattern matched '+N
+        # sep N' fragments (temperatures, scores, diff hunks) and
+        # silently corrupted ordinary text
+        from dragnet_spark.operators.pii import scrub_pii
+        txt = 'meet at +1 5 pm, it was +3 4 degrees, hunk +10 2 applied'
+        df = spark.createDataFrame([(1, txt)], 'doc_id long, text string')
+        row = scrub_pii(df).collect()[0]
+        assert row.scrubbed_text == txt and row.n_phone == 0
+
 
 @pytest.mark.spark
 class TestChunkDocuments:

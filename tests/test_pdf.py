@@ -51,6 +51,15 @@ class TestKernel:
         body, _ = _roundtrip(paras)
         assert body.split() == ' '.join(paras).split()
 
+    def test_latin1_text_starting_with_bom_bytes_roundtrips(self):
+        # review r05: latin-1 text that HAPPENS to start with þÿ (the
+        # UTF-16BE BOM bytes) was emitted as a literal and then
+        # BOM-sniffed into UTF-16BE garbage by the reader; the writer
+        # must route it through the BOM'd hex form
+        paras = ['þÿ starts with BOM bytes', 'normal tail']
+        body, _ = _roundtrip(paras)
+        assert body.split() == ' '.join(paras).split()
+
     def test_empty_document(self):
         body, heads = _roundtrip([])
         assert body == ''
