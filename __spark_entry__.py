@@ -1295,17 +1295,14 @@ def q_text_profile(spark, sf_dir):
     """The per-document text-analysis profile in one wide hash-checked
     surface: token counts (punct tokenizer), C4-style quality features
     (lowercase tokenizer -- its token count rides as n_tokens_lower),
-    language-ID heuristics, and content/token-set fingerprints joined
-    on doc_id.  Each family was previously its own queries() slot; one
-    doc_id-keyed join keeps all four oracle-checked inside the
-    validation harness's 50-entry window."""
-    tc = q_token_count(spark, sf_dir)
-    tq = (q_text_quality(spark, sf_dir)
-          .withColumnRenamed('n_tokens', 'n_tokens_lower')
-          .drop('n_chars_text'))
-    li = q_language_id(spark, sf_dir)
-    fp = q_fingerprints(spark, sf_dir)
-    return (tc.join(tq, 'doc_id').join(li, 'doc_id').join(fp, 'doc_id'))
+    language-ID heuristics, and content/token-set fingerprints.  Each
+    family was previously its own queries() slot; the fused operator
+    computes all of them in ONE codegen projection (no joins -- the
+    join form would shuffle the corpus three times for a narrow
+    per-row computation), column-identical to the individual
+    operators, which stay exported and tested."""
+    from dragnet_spark.operators.text_analysis import text_profile
+    return text_profile(_docs(spark, sf_dir))
 
 
 def q_gopher_gates(spark, sf_dir):

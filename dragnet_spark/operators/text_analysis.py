@@ -324,6 +324,69 @@ def fingerprints(df, text_col='text'):
     )
 
 
+def text_profile(df, text_col='text'):
+    """The full per-document analysis profile -- token counts, C4-style
+    quality features, language-ID heuristics, fingerprints -- in ONE
+    whole-stage-codegen projection.
+
+    Column-for-column identical to joining :func:`token_counts`,
+    :func:`quality_scores` (its token count as ``n_tokens_lower``),
+    :func:`language_id` and :func:`fingerprints` on doc_id, but with no
+    joins: at corpus scale the join form shuffles the corpus three
+    times for what is a narrow per-row computation.  Repeated
+    subexpressions (the two tokenizers, the distinct token set) are
+    shared by Catalyst's subexpression elimination within the single
+    Project -- none sit inside lambda bodies, so no collapse barrier is
+    needed.
+    """
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    toks_l = tokens_col(text, lower=True)
+    dt = F.array_distinct(toks_l)
+    n_chars = F.length(text)
+    alnum_sp = F.length(F.regexp_replace(text, '[^a-zA-Z0-9 ]', ''))
+    n_tokens_l = F.size(toks_l)
+    mean_tok = (n_chars.cast('double')
+                / F.greatest(n_tokens_l, F.lit(1)).cast('double'))
+    hits = {
+        lang: F.size(F.array_intersect(
+            dt, F.array(*[F.lit(w) for w in words])))
+        for lang, words in STOPWORDS.items()
+    }
+    cjk = F.length(F.regexp_replace(text, CJK_PATTERN, ''))
+    cjk_ratio = ((n_chars - cjk).cast('double')
+                 / F.greatest(n_chars, F.lit(1)).cast('double'))
+    pred = (
+        F.when(cjk_ratio > 0.2, 'zh')
+        .when((hits['en'] >= hits['de']) & (hits['en'] >= hits['fr'])
+              & (hits['en'] >= hits['es']), 'en')
+        .when((hits['de'] >= hits['fr']) & (hits['de'] >= hits['es']),
+              'de')
+        .when(hits['fr'] >= hits['es'], 'fr')
+        .otherwise('es'))
+    return df.select(
+        'doc_id',
+        F.size(toks).cast('long').alias('n_tokens'),
+        F.size(F.array_distinct(toks)).cast('long')
+        .alias('n_distinct_tokens'),
+        n_chars.cast('long').alias('n_chars_text'),
+        n_tokens_l.cast('long').alias('n_tokens_lower'),
+        ((n_chars - alnum_sp).cast('double')
+         / F.greatest(n_chars, F.lit(1)).cast('double'))
+        .alias('punct_ratio'),
+        hits['en'].cast('long').alias('en_stopword_hits'),
+        mean_tok.alias('mean_token_len'),
+        ((n_tokens_l >= 10) & (mean_tok < 12.0)).cast('long')
+        .alias('quality_ok'),
+        *[hits[lang].cast('long').alias('%s_hits' % lang)
+          for lang in STOPWORDS],
+        F.round(cjk_ratio, 6).alias('cjk_ratio'),
+        pred.alias('pred_lang'),
+        F.md5(text).alias('content_sig'),
+        F.md5(F.array_join(F.array_sort(dt), ' ')).alias('tokenset_sig'),
+    )
+
+
 # -- deterministic sampling (reproducible corpus splits) --------------------
 
 

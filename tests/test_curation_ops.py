@@ -102,6 +102,30 @@ class TestPiiScrub:
 
 
 @pytest.mark.spark
+class TestTextProfile:
+    def test_fused_profile_equals_joined_operators(self, spark, sf_dir):
+        from dragnet_spark.operators.text_analysis import (
+            fingerprints, language_id, quality_scores, text_profile,
+            token_counts)
+        docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+        fused = text_profile(docs)
+        joined = (token_counts(docs)
+                  .join(quality_scores(docs)
+                        .withColumnRenamed('n_tokens', 'n_tokens_lower')
+                        .drop('n_chars_text'), 'doc_id')
+                  .join(language_id(docs), 'doc_id')
+                  .join(fingerprints(docs), 'doc_id'))
+        assert sorted(fused.columns) == sorted(joined.columns)
+        cols = sorted(fused.columns)
+        a = sorted(map(tuple, fused.select(*cols).collect()))
+        b = sorted(map(tuple, joined.select(*cols).collect()))
+        assert a == b
+        # and it must plan with ZERO shuffles (the point of fusing)
+        plan = fused._jdf.queryExecution().executedPlan().toString()
+        assert 'Exchange' not in plan
+
+
+@pytest.mark.spark
 class TestChunkDocuments:
     def test_window_arithmetic_and_short_tail(self, spark):
         from dragnet_spark.operators.chunking import chunk_documents
