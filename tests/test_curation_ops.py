@@ -42,6 +42,16 @@ class TestDecontamination:
         row = decontaminate(docs, bench).collect()[0]
         assert (row.n_overlap_grams, row.contaminated) == (0, 0)
 
+    def test_benchmark_side_broadcasts(self, spark, sf_dir):
+        # the benchmark gram set must reach executors as a broadcast
+        # (map-side join) -- a shuffle join here would move the corpus
+        from dragnet_spark.operators.decontamination import decontaminate
+        docs = (spark.read.parquet(f'{sf_dir}/documents.parquet')
+                .select('doc_id', 'text'))
+        out = decontaminate(docs, docs.where(F.col('doc_id') % 25 == 3))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert 'BroadcastHashJoin' in plan
+
     def test_occurrences_count_every_position(self, spark):
         from dragnet_spark.operators.decontamination import decontaminate
         gram = ' '.join('tok%d' % i for i in range(13))
