@@ -200,6 +200,65 @@ class TestGateFunnel:
 
 
 @pytest.mark.spark
+class TestQualityModel:
+    @pytest.fixture(scope='class')
+    def scored(self, spark, sf_dir):
+        from dragnet_spark.operators.quality_model import (
+            score_quality, train_quality_classifier)
+        docs = (spark.read.parquet(f'{sf_dir}/documents.parquet')
+                .select('doc_id', 'text'))
+        model = train_quality_classifier(docs)
+        return docs, score_quality(docs, model).cache()
+
+    def test_score_ranks_gate_labels(self, spark, sf_dir, scored):
+        # the smooth score must rank the weak labels it distilled
+        # (the Gopher word-count sub-rule): AUC >= 0.9 on the corpus
+        from dragnet_spark.operators.text_analysis import (
+            gopher_quality_flags)
+        docs, sc = scored
+        flags = gopher_quality_flags(docs).select(
+            'doc_id',
+            ((F.col('n_words') >= 50) & (F.col('n_words') <= 100_000))
+            .cast('long').alias('passes'))
+        labeled = sc.join(flags, 'doc_id')
+        pos = [r.quality_score for r in labeled
+               .where(F.col('passes') == 1).collect()]
+        neg = [r.quality_score for r in labeled
+               .where(F.col('passes') == 0).collect()]
+        assert pos and neg
+        wins = sum(p > n for p in pos for n in neg)
+        auc = wins / (len(pos) * len(neg))
+        assert auc >= 0.9, auc
+        assert all(0.0 <= s <= 1.0 for s in pos + neg)
+
+    def test_weighted_sample_frac_and_determinism(self, spark, scored):
+        from dragnet_spark.operators.quality_model import (
+            quality_weighted_sample)
+        _, sc = scored
+        n = sc.count()
+        kept = quality_weighted_sample(sc, 0.3, temperature=1.0)
+        k = kept.count()
+        assert 0.15 * n < k < 0.45 * n  # ~target_frac up to the clip
+        # engine/run/partitioning-invariant membership
+        again = {r.doc_id for r in quality_weighted_sample(
+            sc.repartition(7), 0.3, temperature=1.0).collect()}
+        assert {r.doc_id for r in kept.collect()} == again
+
+    def test_temperature_moves_quality_mass(self, spark, scored):
+        from dragnet_spark.operators.quality_model import (
+            quality_weighted_sample)
+        _, sc = scored
+        cold = quality_weighted_sample(sc, 0.3, temperature=0.25)
+        hot = quality_weighted_sample(sc, 0.3, temperature=100.0)
+        mean_cold = cold.agg(F.avg('quality_score')).collect()[0][0]
+        mean_hot = hot.agg(F.avg('quality_score')).collect()[0][0]
+        mean_all = sc.agg(F.avg('quality_score')).collect()[0][0]
+        # cold sampling concentrates on high scores; hot ~ uniform
+        assert mean_cold > mean_all
+        assert abs(mean_hot - mean_all) < abs(mean_cold - mean_all)
+
+
+@pytest.mark.spark
 class TestStatefulStream:
     def test_state_carries_across_micro_batches(self, spark, sf_dir,
                                                 tmp_path):
