@@ -171,6 +171,36 @@ class TestChunkDocuments:
         assert sorted(by_doc[1]) == [2, 4, 4]  # non-overlapping partition
         assert 2 not in by_doc                 # token-less doc: no rows
 
+    def test_boundary_length_sweep(self, spark):
+        # every token-count edge around the window/stride boundaries,
+        # one Spark pass: n_chunks == ceil(n/stride), starts at
+        # multiples of stride, total coverage == n, last chunk short
+        from dragnet_spark.operators.chunking import chunk_documents
+        lengths = (list(range(0, 8)) + [95, 96, 97, 127, 128, 129,
+                                        191, 192, 193, 223, 224, 225,
+                                        287, 288, 289])
+        rows = [(n, ' '.join('t%d' % i for i in range(n)))
+                for n in lengths]
+        df = spark.createDataFrame(rows, 'doc_id long, text string')
+        out = chunk_documents(df, chunk_tokens=128, stride=96,
+                              keep_text=True).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for n in lengths:
+            chunks = sorted(by_doc.get(n, []),
+                            key=lambda r: r.chunk_idx)
+            expect = 0 if n == 0 else -(-n // 96)
+            assert len(chunks) == expect, (n, len(chunks))
+            covered = set()
+            for i, c in enumerate(chunks):
+                toks = c.chunk_text.split()
+                assert toks[0] == 't%d' % (i * 96)
+                assert c.n_chunk_tokens == min(128, n - i * 96)
+                covered.update(toks)
+            if n:
+                assert covered == {'t%d' % i for i in range(n)}
+
     def test_invalid_stride_raises(self, spark):
         from dragnet_spark.operators.chunking import chunk_documents
         df = spark.createDataFrame([(1, 'x')], 'doc_id long, text string')
