@@ -123,9 +123,22 @@ def run_with_checkpoints(extracted_df, base, run_id=None):
     # grows O(total-ever-written) across resumes (VERDICT r02 #4)
     tables.append_run_partitioned(tagged, 'extracted', path=out_path)
     wall_ms = int((time.time() - t0) * 1000)
-    # fresh scan of THIS run's files only
-    written = tables.read_run(extracted_df.sparkSession, 'extracted',
-                              run_id, path=out_path)
+    # fresh scan of THIS run's files only.  A fully-resumed job has an
+    # EMPTY todo set: the partitioned append then creates no
+    # run_id=<id>/ directory at all, so the per-run read raises
+    # path-not-found -- that is the success case (nothing to do, no
+    # manifest row), not an error.  Probing AFTER the write keeps the
+    # common non-empty path to a single computation (an isEmpty probe
+    # up front would run the whole extraction twice).
+    from pyspark.errors import AnalysisException
+    try:
+        written = tables.read_run(extracted_df.sparkSession, 'extracted',
+                                  run_id, path=out_path)
+        written.schema  # force analysis so a missing path surfaces here
+    except AnalysisException as e:
+        if 'PATH_NOT_FOUND' in str(e) or 'Path does not exist' in str(e):
+            return run_id
+        raise
     manifest = (written
                 .groupBy('run_id', 'partition_id')
                 .agg(F.min('doc_id').alias('doc_id_min'),

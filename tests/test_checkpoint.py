@@ -92,11 +92,23 @@ class TestCheckpointResume:
 
     def test_second_resume_is_noop(self, spark, tmp_path, small_corpus):
         from dragnet_spark.sources.checkpoint import (
-            extract_resumable, filter_resume)
+            extract_resumable, filter_resume, read_extracted,
+            read_manifest)
         base = str(tmp_path / 'ckpt2')
         extract_resumable(spark, small_corpus, base, num_partitions=4)
         remaining = filter_resume(spark, small_corpus, base)
         assert remaining.count() == 0
+        # the second SUBMISSION itself must succeed as a no-op (r05
+        # smoke found the empty run's missing run_id=<id>/ directory
+        # failing the per-run manifest scan): no new manifest rows, no
+        # duplicate output rows
+        n_manifest = read_manifest(spark, base).count()
+        n_rows = read_extracted(spark, base).count()
+        run2 = extract_resumable(spark, small_corpus, base,
+                                 num_partitions=4)
+        assert run2
+        assert read_manifest(spark, base).count() == n_manifest
+        assert read_extracted(spark, base).count() == n_rows
 
     def test_manifest_pass_scans_only_new_run(self, spark, tmp_path,
                                               small_corpus):
