@@ -42,6 +42,49 @@ def exact_duplicates(df, text_col='text'):
     return groups
 
 
+def exact_dedup_incremental(new_docs, store_path, text_col='text',
+                            id_col='doc_id'):
+    """Batch-incremental exact dedup against a persisted signature
+    store: the production shape for a corpus that grows daily, where
+    re-mining all 10^12 prior documents per batch is not an option.
+
+    Keeps each new batch's within-batch canonical rows (min id per
+    content_sig), drops rows whose signature already exists in the
+    store, and appends the surviving signatures.  Returns
+    ``(fresh_docs, n_dropped_in_batch, n_dropped_vs_store)``.
+
+    Scale shape: the batch is the small side -- within-batch dedup is
+    one md5-groupBy of the batch; the store check is a left_anti join
+    of batch signatures against the store's ``content_sig`` column
+    (32-byte keys only; with the store bucketed by content_sig this is
+    the pay-once co-located join of ``plans/bucketing.py``).  The store
+    append is append-only; replaying a batch after a crash re-appends
+    signatures, which is harmless -- anti-join semantics are
+    idempotent under duplicate store rows (exactly-once needs the
+    Iceberg seam's atomic commit, like the checkpoint manifest).
+    """
+    spark = new_docs.sparkSession
+    batch = new_docs.withColumn('content_sig', F.md5(F.col(text_col)))
+    n_batch = batch.count()
+    canon = (batch.groupBy('content_sig')
+             .agg(F.min(id_col).alias('_keep_id')))
+    within = (batch.join(canon,
+                         (batch['content_sig'] == canon['content_sig'])
+                         & (batch[id_col] == canon['_keep_id']))
+              .drop('_keep_id').drop(canon['content_sig']))
+    n_within = within.count()
+    try:
+        store = spark.read.parquet(store_path).select('content_sig')
+        fresh = within.join(store, 'content_sig', 'left_anti')
+    except Exception:
+        fresh = within  # first batch: no store yet
+    n_fresh = fresh.count()
+    (fresh.select('content_sig')
+     .write.mode('append').parquet(store_path))
+    return (fresh.drop('content_sig'),
+            n_batch - n_within, n_within - n_fresh)
+
+
 # -- exact token-set Jaccard (oracle-checkable pair join) --------------------
 
 

@@ -230,6 +230,37 @@ class TestGateFunnel:
 
 
 @pytest.mark.spark
+class TestIncrementalDedup:
+    def test_batches_dedup_against_growing_store(self, spark, tmp_path):
+        from dragnet_spark.operators.dedup import exact_dedup_incremental
+        store = str(tmp_path / 'sigstore')
+        b1 = spark.createDataFrame(
+            [(1, 'alpha text'), (2, 'beta text'), (3, 'alpha text')],
+            'doc_id long, text string')
+        fresh1, drop_in1, drop_store1 = exact_dedup_incremental(b1, store)
+        assert {r.doc_id for r in fresh1.collect()} == {1, 2}
+        assert (drop_in1, drop_store1) == (1, 0)
+        # batch 2: one within-batch dup, one store dup, one new
+        b2 = spark.createDataFrame(
+            [(10, 'beta text'), (11, 'gamma text'), (12, 'gamma text')],
+            'doc_id long, text string')
+        fresh2, drop_in2, drop_store2 = exact_dedup_incremental(b2, store)
+        assert {r.doc_id for r in fresh2.collect()} == {11}
+        assert (drop_in2, drop_store2) == (1, 1)
+        # store holds each surviving signature once per append
+        assert spark.read.parquet(store).count() == 3
+
+    def test_replayed_batch_is_idempotent(self, spark, tmp_path):
+        from dragnet_spark.operators.dedup import exact_dedup_incremental
+        store = str(tmp_path / 'sigstore2')
+        b = spark.createDataFrame([(1, 'doc one'), (2, 'doc two')],
+                                  'doc_id long, text string')
+        exact_dedup_incremental(b, store)
+        fresh, _, drop_store = exact_dedup_incremental(b, store)
+        assert fresh.count() == 0 and drop_store == 2
+
+
+@pytest.mark.spark
 class TestQualityModel:
     @pytest.fixture(scope='class')
     def scored(self, spark, sf_dir):
