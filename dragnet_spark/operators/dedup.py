@@ -175,6 +175,85 @@ def minhash_signatures(df, text_col='text', k=MINHASH_K):
 BUCKET_CAP = 256
 
 
+def band_key_rows(sigs, k=MINHASH_K, bands=LSH_BANDS):
+    """(doc_id, bucket) rows: one banded LSH key per (doc, band) from a
+    ``minhash_signatures`` frame -- the join key for bucket-based
+    candidate generation, shared by the batch miner and the
+    incremental store."""
+    rows = k // bands
+    return sigs.select(
+        'doc_id',
+        F.explode(F.array(*[
+            F.xxhash64(F.lit(b), *[F.col('h%d' % (b * rows + r))
+                                   for r in range(rows)]).alias('b%d' % b)
+            for b in range(bands)])).alias('bucket'))
+
+
+def minhash_dedup_incremental(new_docs, store_path, text_col='text',
+                              threshold=0.8, k=MINHASH_K,
+                              bands=LSH_BANDS):
+    """Batch-incremental NEAR-dup dedup against a persisted signature
+    store -- the LSH companion of :func:`exact_dedup_incremental`.
+
+    Within the batch, duplicates are mined with the full exact-verify
+    pipeline (texts are at hand) and only cluster canonicals survive.
+    Against the store, where prior TEXT is gone by design (storing
+    10^12 documents' text in the dedup store defeats its purpose),
+    candidates come from banded-bucket key collisions and are verified
+    by the MINHASH ESTIMATE: the fraction of agreeing signature
+    components, an unbiased estimator of shingle Jaccard with stderr
+    ~= sqrt(j(1-j)/k) (~0.07 at k=32, j=0.8) -- thresholds should sit
+    a margin below the mined similarity.  Surviving signatures (k
+    longs per doc) are appended.
+
+    Scale shape: the store side explodes to ``bands`` 8-byte keys per
+    row for the bucket join, but the BATCH side is the small one --
+    broadcast -- so the store is never shuffled; the verify join
+    touches candidates only.  Store appends are idempotent under batch
+    replay (duplicate store rows only re-confirm the same matches).
+
+    Returns ``(fresh_docs, n_dropped_within, n_dropped_vs_store)``.
+    """
+    spark = new_docs.sparkSession
+    assign = duplicate_cluster_assignments(new_docs, text_col=text_col,
+                                           threshold=threshold)
+    batch = new_docs.join(
+        assign.where(F.col('is_canonical') == 1).select('doc_id'),
+        'doc_id', 'left_semi')
+    n_in = new_docs.count()
+    n_within = batch.count()
+    sigs = minhash_signatures(batch, text_col, k)
+    hcols = ['h%d' % i for i in range(k)]
+    fresh_ids = sigs.select('doc_id')
+    try:
+        store = spark.read.parquet(store_path)
+        bk_new = (band_key_rows(sigs, k, bands)
+                  .withColumnRenamed('doc_id', '_new_id'))
+        bk_old = (band_key_rows(store, k, bands)
+                  .withColumnRenamed('doc_id', '_old_id'))
+        cand = (F.broadcast(bk_new).join(bk_old, 'bucket')
+                .select('_new_id', '_old_id').distinct())
+        joined = (cand
+                  .join(sigs.select(F.col('doc_id').alias('_new_id'),
+                                    *[F.col(h).alias(h + '_n')
+                                      for h in hcols]), '_new_id')
+                  .join(store.select(F.col('doc_id').alias('_old_id'),
+                                     *[F.col(h).alias(h + '_o')
+                                       for h in hcols]), '_old_id'))
+        agree = sum((F.col(h + '_n') == F.col(h + '_o')).cast('int')
+                    for h in hcols) / float(k)
+        dup_ids = (joined.where(agree >= threshold)
+                   .select(F.col('_new_id').alias('doc_id')).distinct())
+        fresh_ids = fresh_ids.join(dup_ids, 'doc_id', 'left_anti')
+    except Exception:
+        pass  # first batch: no store yet
+    fresh = batch.join(fresh_ids, 'doc_id', 'left_semi')
+    n_fresh = fresh.count()
+    (sigs.join(fresh_ids, 'doc_id', 'left_semi')
+     .write.mode('append').parquet(store_path))
+    return fresh, n_in - n_within, n_within - n_fresh
+
+
 def minhash_candidates(df, text_col='text', k=MINHASH_K, bands=LSH_BANDS,
                        bucket_cap=BUCKET_CAP):
     """Candidate near-dup pairs via banded LSH bucket join.
@@ -188,14 +267,8 @@ def minhash_candidates(df, text_col='text', k=MINHASH_K, bands=LSH_BANDS,
     it transitively downstream.
     """
     from .similarity import bucket_candidate_pairs
-    rows = k // bands
     sigs = minhash_signatures(df, text_col, k)
-    banded = sigs.select(
-        'doc_id',
-        F.explode(F.array(*[
-            F.xxhash64(F.lit(b), *[F.col('h%d' % (b * rows + r))
-                                   for r in range(rows)]).alias('b%d' % b)
-            for b in range(bands)])).alias('bucket'))
+    banded = band_key_rows(sigs, k, bands)
     return bucket_candidate_pairs(banded, 'doc_id', 'doc_a', 'doc_b',
                                   bucket_cap, assume_distinct=True)
 

@@ -250,6 +250,35 @@ class TestIncrementalDedup:
         # store holds each surviving signature once per append
         assert spark.read.parquet(store).count() == 3
 
+    def test_minhash_incremental_near_dup_store(self, spark, tmp_path):
+        from dragnet_spark.operators.dedup import minhash_dedup_incremental
+        store = str(tmp_path / 'mhstore')
+        base = ' '.join('word%d' % i for i in range(200))
+        near = ' '.join('word%d' % i for i in range(199)) + ' CHANGED'
+        other = ' '.join('thing%d' % i for i in range(200))
+        b1 = spark.createDataFrame(
+            [(1, base), (2, near), (3, other)],
+            'doc_id long, text string')
+        fresh1, drop_in1, drop_store1 = minhash_dedup_incremental(
+            b1, store, threshold=0.8)
+        # within batch: the near-dup collapses to its cluster canonical
+        assert {r.doc_id for r in fresh1.collect()} == {1, 3}
+        assert (drop_in1, drop_store1) == (1, 0)
+        # batch 2: a near-dup of STORED doc 1 (text no longer available
+        # -- matched by the minhash estimate) and one genuinely new doc
+        near2 = ' '.join('word%d' % i for i in range(198)) + ' X Y'
+        new = ' '.join('fresh%d' % i for i in range(200))
+        b2 = spark.createDataFrame(
+            [(10, near2), (11, new)], 'doc_id long, text string')
+        fresh2, drop_in2, drop_store2 = minhash_dedup_incremental(
+            b2, store, threshold=0.8)
+        assert {r.doc_id for r in fresh2.collect()} == {11}
+        assert (drop_in2, drop_store2) == (0, 1)
+        # store holds signatures only for retained canonicals
+        assert ({r.doc_id for r in
+                 spark.read.parquet(store).select('doc_id').collect()}
+                == {1, 3, 11})
+
     def test_replayed_batch_is_idempotent(self, spark, tmp_path):
         from dragnet_spark.operators.dedup import exact_dedup_incremental
         store = str(tmp_path / 'sigstore2')
