@@ -97,7 +97,7 @@ def run_queries(spark, sf_dir):
         'token_count', 'text_quality', 'gopher_quality', 'language_id', 'dedup_exact',
         'jaccard_pairs', 'pricing_summary', 'events_sessionize',
         'pdf_extract_content', 'gopher_repetition', 'duplicated_passages',
-        'decontamination', 'pii_scrub',
+        'decontamination', 'pii_scrub', 'text_profile',
     ]
     times = {}
     for name in headline:

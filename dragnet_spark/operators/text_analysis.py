@@ -281,6 +281,113 @@ def gopher_repetition_flags(df, text_col='text',
         passes.cast('long').alias('passes_repetition'))
 
 
+def gopher_repetition_flags_rowwise(df, text_col='text',
+                                    max_top2=GOPHER_MAX_TOP2GRAM_FRAC,
+                                    max_dup10=GOPHER_MAX_DUP10GRAM_FRAC,
+                                    keep_cols=()):
+    """The Gopher repetition gate as ONE stateless projection -- no
+    groupBy, no join, no shuffle -- bit-identical to
+    :func:`gopher_repetition_flags` (asserted in tests).
+
+    Being stateless makes it legal in a Structured Streaming pipeline
+    (the shuffle form's blocking aggregations are not, short of
+    watermark gymnastics on a per-doc key) and removes the gate's four
+    shuffles in batch.  The trick: per-gram COUNTS come from run
+    lengths in the doc's SORTED gram-hash array (equal hashes are
+    adjacent after ``array_sort``; a single ``aggregate`` pass with a
+    (prev, run, best) accumulator finds the max), and the duplicated-
+    10-gram POSITIONAL coverage is the distinct union of
+    ``sequence(i, i+9)`` windows over duplicated-gram start positions.
+
+    Cost note: the coverage step is O(starts x duplicated-gram-set)
+    per document (``array_contains`` per position) -- linear on normal
+    documents (few duplicated grams), quadratic-ish only on spam that
+    is mostly repeats, which the gate rejects anyway.  The shuffle
+    form's cost is flat O(total tokens) regardless; it remains the
+    default for batch corpora with adversarial spam, this form the
+    streaming/narrow variant.
+    """
+    raw = "array_remove(split(lower(%s), '[^a-z0-9]+'), '')" % text_col
+    keep = [F.col(c) for c in keep_cols]
+    tk = (df.select('doc_id', *keep, F.expr(raw).alias('_tk'),
+                    F.explode(F.array(F.lit(1))).alias('_b'))
+          .drop('_b'))
+    t = '_tk'
+    base = tk.select(
+        'doc_id', *keep,
+        F.expr('aggregate(transform(%s, x -> length(x)), 0, '
+               '(a, x) -> a + x)' % t).alias('_chars'),
+        F.expr(t).alias('_toks'),
+        # (hash, char-len) structs for 2-grams; sorted so equal hashes
+        # are adjacent (struct sort orders by first field)
+        F.expr("CASE WHEN size({t}) >= 2 THEN array_sort(transform("
+               "sequence(0, size({t}) - 2), "
+               "i -> struct(xxhash64(slice({t}, i + 1, 2)) AS gh, "
+               "length(element_at({t}, i + 1)) "
+               "  + length(element_at({t}, i + 2)) AS glen))) "
+               "ELSE array() END".format(t=t)).alias('_g2'),
+        F.expr("CASE WHEN size({t}) >= 10 THEN transform("
+               "sequence(0, size({t}) - 10), "
+               "i -> xxhash64(slice({t}, i + 1, 10))) "
+               "ELSE array() END".format(t=t)).alias('_g10h'))
+
+    # max over distinct 2-grams of (count x gram char len): single
+    # aggregate pass over the sorted (gh, glen) structs
+    top2 = F.expr(
+        "aggregate(_g2, "
+        "named_struct('prev', CAST(NULL AS BIGINT), 'glen', 0, "
+        "             'run', 0L, 'best', 0L), "
+        "(a, s) -> IF(a.prev IS NOT NULL AND s.gh = a.prev, "
+        "  named_struct('prev', a.prev, 'glen', a.glen, "
+        "               'run', a.run + 1L, 'best', a.best), "
+        "  named_struct('prev', s.gh, 'glen', s.glen, 'run', 1L, "
+        "    'best', greatest(a.best, a.run * CAST(a.glen AS BIGINT)))), "
+        "a -> greatest(a.best, a.run * CAST(a.glen AS BIGINT)))")
+
+    # duplicated 10-gram hashes = values with run length > 1 in the
+    # sorted hash array; then coverage = distinct union of the
+    # [i, i+9] windows whose start gram is duplicated
+    with_aggs = base.select(
+        'doc_id', *keep, '_chars', '_toks', '_g10h',
+        top2.alias('_top2'),
+        F.expr(
+            "aggregate(array_sort(_g10h), "
+            "named_struct('prev', CAST(NULL AS BIGINT), 'run', 1L, "
+            "             'dup', CAST(array() AS ARRAY<BIGINT>)), "
+            "(a, h) -> IF(a.prev IS NOT NULL AND h = a.prev, "
+            "  named_struct('prev', a.prev, 'run', a.run + 1L, "
+            "    'dup', IF(a.run = 1L, array_append(a.dup, h), a.dup)), "
+            "  named_struct('prev', h, 'run', 1L, 'dup', a.dup)), "
+            "a -> a.dup)").alias('_dup'))
+    # CASE guard: sequence(0, -1) is [0, -1] (descending), whose
+    # element_at would throw under ANSI on the empty gram array
+    covered = F.expr(
+        "CASE WHEN size(_g10h) = 0 THEN CAST(array() AS ARRAY<INT>) "
+        "ELSE array_distinct(flatten(transform("
+        "  filter(transform(sequence(0, size(_g10h) - 1), "
+        "         i -> struct(i AS i, element_at(_g10h, i + 1) AS gh)), "
+        "         s -> array_contains(_dup, s.gh)), "
+        "  s -> sequence(s.i, s.i + 9)))) END")
+    # two-step select so the covered-positions array is a bound
+    # attribute before the summing lambda (opaque to CSE otherwise)
+    staged = with_aggs.select('doc_id', *keep, '_chars', '_toks',
+                              '_top2', covered.alias('_cov'))
+    dup10 = F.expr("aggregate(_cov, 0L, (a, i) -> "
+                   "a + length(element_at(_toks, i + 1)))")
+    out = staged.select('doc_id', *keep, '_chars', '_top2',
+                        dup10.alias('_dup10'))
+    top2f = (F.coalesce('_top2', F.lit(0)).cast('double')
+             / F.greatest('_chars', F.lit(1)).cast('double'))
+    dupf = (F.coalesce('_dup10', F.lit(0)).cast('double')
+            / F.greatest('_chars', F.lit(1)).cast('double'))
+    passes = (top2f <= max_top2) & (dupf <= max_dup10)
+    return out.select(
+        'doc_id', *keep,
+        F.round(top2f, 6).alias('top_2gram_char_frac'),
+        F.round(dupf, 6).alias('dup_10gram_char_frac'),
+        passes.cast('long').alias('passes_repetition'))
+
+
 def language_id(df, text_col='text'):
     """Stopword + CJK-ratio language heuristic over (en, de, fr, es, zh).
 

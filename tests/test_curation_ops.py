@@ -230,6 +230,84 @@ class TestGateFunnel:
 
 
 @pytest.mark.spark
+class TestRowwiseRepetitionGate:
+    def test_bit_identical_to_shuffle_form(self, spark, sf_dir):
+        from dragnet_spark.operators.text_analysis import (
+            gopher_repetition_flags, gopher_repetition_flags_rowwise)
+        docs = (spark.read.parquet(f'{sf_dir}/documents.parquet')
+                .select('doc_id', 'text'))
+        extra = spark.createDataFrame(
+            [(9001, ''), (9002, 'one two'),
+             (9003, ' '.join(['spam phrase repeat now'] * 60)),
+             (9004, ' '.join('w%d' % (i % 15) for i in range(200))),
+             (9005, ' '.join('u%d' % i for i in range(9)))],
+            'doc_id long, text string')
+        all_docs = docs.unionByName(extra)
+        key = lambda r: (r.doc_id, r.top_2gram_char_frac,  # noqa: E731
+                         r.dup_10gram_char_frac, r.passes_repetition)
+        a = sorted(map(key, gopher_repetition_flags(all_docs).collect()))
+        b = sorted(map(key,
+                       gopher_repetition_flags_rowwise(all_docs)
+                       .collect()))
+        assert a == b
+
+    def test_rowwise_is_shuffle_free(self, spark, sf_dir):
+        from dragnet_spark.operators.text_analysis import (
+            gopher_repetition_flags_rowwise)
+        docs = (spark.read.parquet(f'{sf_dir}/documents.parquet')
+                .select('doc_id', 'text'))
+        plan = (gopher_repetition_flags_rowwise(docs)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert 'Exchange' not in plan
+
+
+@pytest.mark.spark
+class TestCurationStream:
+    def test_stream_equals_batch_composition(self, spark, sf_dir,
+                                             tmp_path):
+        import pyspark.sql.functions as FF
+        from dragnet_spark.operators.extract import extract
+        from dragnet_spark.operators.text_analysis import (
+            gopher_quality_flags, gopher_repetition_flags)
+        from dragnet_spark.sources.synthesis import synthesize_corpus
+        from dragnet_spark.streaming.curation_stream import (
+            run_curation_stream)
+        spans_df, _ = synthesize_corpus(spark, sf_dir,
+                                        include_edge_docs=False)
+        (spans_df.repartition(3).write.mode('overwrite')
+         .parquet(str(tmp_path / 'src')))
+        run_curation_stream(spark, str(tmp_path / 'src'),
+                            str(tmp_path / 'out'),
+                            str(tmp_path / 'chk'), max_dup10=0.6)
+        stream_out = spark.read.parquet(str(tmp_path / 'out'))
+        kept_stream = stream_out.where(FF.col('is_first_seen'))
+
+        # batch twin: extract -> gates -> one doc per (host, sig)
+        ext = (extract(spans_df).where(FF.col('status') == 'ok')
+               .select('doc_id',
+                       FF.col('content_text').alias('text')))
+        q = (gopher_quality_flags(ext, keep_cols=('text',))
+             .where(FF.col('passes') == 1).select('doc_id', 'text'))
+        r = (gopher_repetition_flags(q.select('doc_id', 'text'),
+                                     max_dup10=0.6)
+             .where(FF.col('passes_repetition') == 1)
+             .select('doc_id'))
+        gated = q.join(r, 'doc_id')
+        from dragnet_spark.plans.partitioning import host_of
+        batch_pairs = (gated.select(
+            host_of(FF.col('doc_id')).alias('host'),
+            FF.md5(FF.col('text')).substr(1, 16).alias('content_sig'))
+            .distinct())
+        a = {(r2.host, r2.content_sig)
+             for r2 in kept_stream.select('host', 'content_sig')
+             .collect()}
+        b = {(r2.host, r2.content_sig) for r2 in batch_pairs.collect()}
+        assert a == b
+        # one kept row per (host, sig): dedup actually deduped
+        assert kept_stream.count() == len(a)
+
+
+@pytest.mark.spark
 class TestIncrementalDedup:
     def test_batches_dedup_against_growing_store(self, spark, tmp_path):
         from dragnet_spark.operators.dedup import exact_dedup_incremental
