@@ -430,8 +430,16 @@ def main():
     # the quietest machine window -- cold page cache is irrelevant (each
     # trial warms itself), but a query sweep running beforehand leaves
     # JIT/compile threads and page-cache churn that added noise to the
-    # r04 driver record (0.7959 vs 0.9966 local on identical code)
-    scaling = scaling_run(sf_dir, amplification) if do_scaling else None
+    # r04 driver record (0.7959 vs 0.9966 local on identical code).
+    # Contained: a scaling failure (environment missing taskset quirks,
+    # subprocess timeout) must not void the whole bench record -- the
+    # error rides in the JSON instead.
+    scaling = None
+    if do_scaling:
+        try:
+            scaling = scaling_run(sf_dir, amplification)
+        except Exception as e:
+            scaling = {'error': '%s: %s' % (type(e).__name__, str(e)[:400])}
 
     spark = _bench_session(cpus)
     extract_sec, n_docs = run_extraction(spark, sf_dir, amplification)
@@ -482,7 +490,9 @@ def main():
         pass
 
     compact = dict(result)
-    if scaling is not None:
+    if scaling is not None and 'error' in scaling:
+        compact['scaling'] = scaling
+    elif scaling is not None:
         ctl = scaling['control_8_to_32']
         compact['scaling'] = {
             'protocol': scaling['protocol'],
