@@ -103,6 +103,20 @@ def default_model(to_extract=('content',)):
         fname = 'content_comments_lr.json'
     else:
         fname = 'content_lr.json'
+    # importlib.resources first: under spark-submit --py-files the
+    # package lives INSIDE a zip, where os.path.exists on the joined
+    # path is False -- the silent fallback to the reference-oracle
+    # coefficients collapsed extraction quality on real clusters
+    # (caught by asserting CONTENT, not just row counts, in the
+    # submit smoke).  The filesystem path stays as the fallback for
+    # source checkouts on odd importers.
+    try:
+        from importlib import resources
+        ref = resources.files('dragnet_spark') / 'models' / fname
+        if ref.is_file():
+            return LogisticModel.from_json(ref.read_text())
+    except Exception:
+        pass
     path = os.path.join(_MODELS_DIR, fname)
     if os.path.exists(path):
         return LogisticModel.load(path)

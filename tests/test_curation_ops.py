@@ -229,6 +229,38 @@ class TestGateFunnel:
         assert row.n_both_pass <= min(q, r)
 
 
+class TestZipSafeModelLoading:
+    def test_default_model_loads_from_inside_a_zip(self, tmp_path):
+        # spark-submit --py-files ships the package as a ZIP, where
+        # os.path.exists on the joined models path is False; the silent
+        # fallback to the reference-oracle coefficients collapsed
+        # extraction quality on real clusters (r05 submit smoke: every
+        # content_text empty with status ok)
+        import json
+        import os
+        import shutil
+        import subprocess
+        import sys
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        zip_base = str(tmp_path / 'pkg')
+        shutil.make_archive(zip_base, 'zip', root_dir=repo,
+                            base_dir='dragnet_spark')
+        code = (
+            "import sys\n"
+            "sys.path.insert(0, %r)\n"
+            "from dragnet_spark.model import default_model\n"
+            "import json\n"
+            "m = default_model()\n"
+            "print(json.dumps(list(m.coef)))\n" % (zip_base + '.zip'))
+        out = subprocess.run([sys.executable, '-c', code],
+                             capture_output=True, text=True, timeout=60)
+        assert out.returncode == 0, out.stderr[-500:]
+        coef_zip = json.loads(out.stdout.strip().splitlines()[-1])
+        shipped = json.load(open(os.path.join(
+            repo, 'dragnet_spark', 'models', 'content_lr.json')))
+        assert coef_zip == shipped['coef']
+
+
 @pytest.mark.spark
 class TestRowwiseRepetitionGate:
     def test_bit_identical_to_shuffle_form(self, spark, sf_dir):
