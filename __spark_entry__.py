@@ -284,10 +284,15 @@ def q_gopher_repetition(spark, sf_dir):
     """Gopher repetition gate: top-2-gram (occurrence-weighted) and
     duplicated-10-gram (POSITIONAL coverage -- each token position
     counts once; see the operator docstring) character fractions per
-    document, defined identically in the oracle, with the pass flag."""
+    document, defined identically in the oracle, with the pass flag.
+
+    r06: runs the zero-shuffle rowwise form -- bit-identical to the
+    shuffle form (asserted in tests) and ~9x faster at sf1.0 since its
+    coverage step went O(n log n); the shuffle form's plan re-computed
+    the scan+tokenize base five times across its four shuffles."""
     from dragnet_spark.operators.text_analysis import (
-        gopher_repetition_flags)
-    return gopher_repetition_flags(_docs(spark, sf_dir))
+        gopher_repetition_flags_rowwise)
+    return gopher_repetition_flags_rowwise(_docs(spark, sf_dir))
 
 
 def q_language_id(spark, sf_dir):

@@ -24,7 +24,8 @@ import pyspark.sql.functions as F
 from .dedup import duplicate_cluster_assignments
 from .text_analysis import (GOPHER_MAX_DUP10GRAM_FRAC,
                             GOPHER_MAX_TOP2GRAM_FRAC,
-                            gopher_quality_flags, gopher_repetition_flags)
+                            gopher_quality_flags,
+                            gopher_repetition_flags_rowwise)
 
 
 def gate_funnel(docs, text_col='text', id_col='doc_id',
@@ -46,8 +47,8 @@ def gate_funnel(docs, text_col='text', id_col='doc_id',
                        F.col(text_col).alias('text'))
     quality = (gopher_quality_flags(base)
                .select('doc_id', F.col('passes').alias('pq')))
-    repetition = (gopher_repetition_flags(base, max_top2=max_top2,
-                                          max_dup10=max_dup10)
+    repetition = (gopher_repetition_flags_rowwise(
+                      base, max_top2=max_top2, max_dup10=max_dup10)
                   .select('doc_id',
                           F.col('passes_repetition').alias('pr')))
     gated = quality.join(repetition, 'doc_id')
@@ -88,8 +89,8 @@ def curate_corpus(docs, text_col='text', id_col='doc_id',
     quality = (gopher_quality_flags(base, keep_cols=('text',))
                .select('doc_id', 'text',
                        F.col('passes').alias('passes_quality')))
-    repetition = (gopher_repetition_flags(base, max_top2=max_top2,
-                                          max_dup10=max_dup10)
+    repetition = (gopher_repetition_flags_rowwise(
+                      base, max_top2=max_top2, max_dup10=max_dup10)
                   .select('doc_id', 'passes_repetition'))
     gated = quality.join(repetition, 'doc_id')
     survivors = (gated

@@ -162,9 +162,23 @@ def minhash_signatures(df, text_col='text', k=MINHASH_K):
     (map-side) aggregation means the shuffle carries only k longs per
     doc per input partition.  (The nested array_min(transform(...))xK
     formulation generates pathological whole-stage code.)
+
+    The explode input is the shingle EXPRESSION inline, not the
+    materialized ``shingle_df`` column: exploding a bare attribute lets
+    ``InferFiltersFromGenerate`` add a ``size(shingles) > 0`` filter
+    that predicate pushdown then alias-substitutes all the way into the
+    parquet scan, where it re-tokenizes every document ~8x before the
+    projection runs (r06 plan audit: the scan Filter carried 16
+    ``split()`` occurrences; this query was 20.5 s at sf1.0 with it,
+    8.1 s without).  With an expensive non-attribute generator child
+    the rule skips the inference, and empty shingle arrays are dropped
+    by the explode itself at no extra cost.
     """
-    sh = shingle_df(df, text_col).select(
-        'doc_id', F.explode('shingles').alias('sh'))
+    t = df.select('doc_id',
+                  tokens_col(F.lower(F.col(text_col))).alias('_toks'))
+    sh = t.select('doc_id',
+                  F.explode(F.array_distinct(shingles_col('_toks')))
+                  .alias('sh'))
     hashed = sh.select(
         'doc_id', *[F.xxhash64('sh', F.lit(i)).alias('h%d' % i)
                     for i in range(k)])

@@ -52,17 +52,33 @@ def block_level_metrics(df, label_col='label', pred_col='pred',
 
 
 def token_f1_per_doc(df, pred_col='content_text', gold_col='content_text_gold'):
-    """Per-document bag-of-words precision/recall/F1 columns."""
+    """Per-document bag-of-words precision/recall/F1 columns.
+
+    The three counts (intersection, |pred|, |gold|) are materialized
+    behind an ``explode(array(1))`` collapse barrier before the ratio
+    CASE WHENs: expressions inside conditional branches are excluded
+    from codegen subexpression elimination, so the inline form
+    re-tokenized both texts once per CASE branch (~17 ``split()``
+    occurrences in the optimized plan; the r05 driver measured this
+    query at 39 s vs ~3 s for the extraction it wraps).  Behind the
+    barrier the counts are bound attributes computed once per row and
+    the ratios are scalar arithmetic.
+    """
     p = F.array_distinct(_tokens(F.col(pred_col)))
     a = F.array_distinct(_tokens(F.col(gold_col)))
-    tp = F.size(F.array_intersect(p, a)).cast('double')
-    np_ = F.size(p).cast('double')
-    na = F.size(a).cast('double')
+    base = (df.select(
+        'doc_id',
+        F.size(F.array_intersect(p, a)).cast('double').alias('_tp'),
+        F.size(p).cast('double').alias('_np'),
+        F.size(a).cast('double').alias('_na'),
+        F.explode(F.array(F.lit(1))).alias('_b'))
+        .drop('_b'))
+    tp, np_, na = F.col('_tp'), F.col('_np'), F.col('_na')
     precision = F.when(np_ > 0, tp / np_).otherwise(0.0)
     recall = F.when(na > 0, tp / na).otherwise(0.0)
     f1 = F.when((precision + recall) > 0,
                 2 * precision * recall / (precision + recall)).otherwise(0.0)
-    return df.select(
+    return base.select(
         'doc_id',
         precision.alias('precision'),
         recall.alias('recall'),

@@ -332,6 +332,15 @@ def embedding_near_duplicates(df, threshold=0.9, vec_col='embedding',
     cand = bucket_candidate_pairs(
         sigs.select('vec_id', 'bucket'), 'vec_id', 'vec_a', 'vec_b',
         bucket_cap, assume_distinct=True).select('vec_a', 'vec_b')
+    # verify shape note (r06): a melt (explode each pair into two
+    # (side, vid) rows, join the vector table ONCE, regroup per pair)
+    # was measured and REJECTED -- candidate volume here is ~25x the
+    # corpus (bench sf1.0: ~2.5M pairs vs 100k vectors), so regrouping
+    # fat (vector, norm) structs per pair costs more than scanning the
+    # vector table a second time (SortAggregate 8.9 s / ObjectHash
+    # 9.9 s vs 7.6 s for the two-join form).  The two joins stay: AQE
+    # broadcasts the candidate side into the first and the verify only
+    # ever touches candidate rows.
     vecs = with_norm(df, vec_col).select(
         F.col(id_col).alias('vid'), F.col(vec_col).alias('_v'),
         F.col('_norm').alias('_n'))

@@ -296,16 +296,24 @@ def gopher_repetition_flags_rowwise(df, text_col='text',
     lengths in the doc's SORTED gram-hash array (equal hashes are
     adjacent after ``array_sort``; a single ``aggregate`` pass with a
     (prev, run, best) accumulator finds the max), and the duplicated-
-    10-gram POSITIONAL coverage is the distinct union of
-    ``sequence(i, i+9)`` windows over duplicated-gram start positions.
+    10-gram POSITIONAL coverage comes from the start positions of
+    duplicated grams (any element of a >=2 run in the sorted
+    (hash, start) struct array), interval-merged in one ``aggregate``
+    pass so each covered position's token length is summed exactly
+    once.
 
-    Cost note: the coverage step is O(starts x duplicated-gram-set)
-    per document (``array_contains`` per position) -- linear on normal
-    documents (few duplicated grams), quadratic-ish only on spam that
-    is mostly repeats, which the gate rejects anyway.  The shuffle
-    form's cost is flat O(total tokens) regardless; it remains the
-    default for batch corpora with adversarial spam, this form the
-    streaming/narrow variant.
+    Cost: O(n log n) per document in the two ``array_sort``s, linear
+    everywhere else -- the r05 form's coverage step was
+    O(starts x duplicated-gram-set) (an ``array_contains`` per
+    position) with an ``array_append`` accumulator (quadratic on
+    mostly-repeat spam); both are gone, so this form is now the batch
+    default as well (``__spark_entry__.q_gopher_repetition``,
+    ``curation.gate_funnel`` / ``curate_corpus``), replacing four
+    token-exploded shuffles and five re-computations of the corpus
+    scan+tokenize projection (the shuffle form's plan re-reads the
+    base five times) with one zero-shuffle projection.  The shuffle
+    form remains exported as the cross-check twin (bit-equality
+    asserted in tests).
     """
     raw = "array_remove(split(lower(%s), '[^a-z0-9]+'), '')" % text_col
     keep = [F.col(c) for c in keep_cols]
@@ -326,10 +334,10 @@ def gopher_repetition_flags_rowwise(df, text_col='text',
                "length(element_at({t}, i + 1)) "
                "  + length(element_at({t}, i + 2)) AS glen))) "
                "ELSE array() END".format(t=t)).alias('_g2'),
-        F.expr("CASE WHEN size({t}) >= 10 THEN transform("
+        F.expr("CASE WHEN size({t}) >= 10 THEN array_sort(transform("
                "sequence(0, size({t}) - 10), "
-               "i -> xxhash64(slice({t}, i + 1, 10))) "
-               "ELSE array() END".format(t=t)).alias('_g10h'))
+               "i -> struct(xxhash64(slice({t}, i + 1, 10)) AS gh, "
+               "i AS i))) ELSE array() END".format(t=t)).alias('_g10s'))
 
     # max over distinct 2-grams of (count x gram char len): single
     # aggregate pass over the sorted (gh, glen) structs
@@ -344,36 +352,35 @@ def gopher_repetition_flags_rowwise(df, text_col='text',
         "    'best', greatest(a.best, a.run * CAST(a.glen AS BIGINT)))), "
         "a -> greatest(a.best, a.run * CAST(a.glen AS BIGINT)))")
 
-    # duplicated 10-gram hashes = values with run length > 1 in the
-    # sorted hash array; then coverage = distinct union of the
-    # [i, i+9] windows whose start gram is duplicated
-    with_aggs = base.select(
-        'doc_id', *keep, '_chars', '_toks', '_g10h',
-        top2.alias('_top2'),
-        F.expr(
-            "aggregate(array_sort(_g10h), "
-            "named_struct('prev', CAST(NULL AS BIGINT), 'run', 1L, "
-            "             'dup', CAST(array() AS ARRAY<BIGINT>)), "
-            "(a, h) -> IF(a.prev IS NOT NULL AND h = a.prev, "
-            "  named_struct('prev', a.prev, 'run', a.run + 1L, "
-            "    'dup', IF(a.run = 1L, array_append(a.dup, h), a.dup)), "
-            "  named_struct('prev', h, 'run', 1L, 'dup', a.dup)), "
-            "a -> a.dup)").alias('_dup'))
-    # CASE guard: sequence(0, -1) is [0, -1] (descending), whose
-    # element_at would throw under ANSI on the empty gram array
-    covered = F.expr(
-        "CASE WHEN size(_g10h) = 0 THEN CAST(array() AS ARRAY<INT>) "
-        "ELSE array_distinct(flatten(transform("
-        "  filter(transform(sequence(0, size(_g10h) - 1), "
-        "         i -> struct(i AS i, element_at(_g10h, i + 1) AS gh)), "
-        "         s -> array_contains(_dup, s.gh)), "
-        "  s -> sequence(s.i, s.i + 9)))) END")
-    # two-step select so the covered-positions array is a bound
-    # attribute before the summing lambda (opaque to CSE otherwise)
-    staged = with_aggs.select('doc_id', *keep, '_chars', '_toks',
-                              '_top2', covered.alias('_cov'))
-    dup10 = F.expr("aggregate(_cov, 0L, (a, i) -> "
-                   "a + length(element_at(_toks, i + 1)))")
+    # duplicated-10-gram START positions: in the (gh, i) structs sorted
+    # by hash, a start belongs to a duplicated gram iff its hash equals
+    # a neighbor's -- one O(n) pass of O(1) element_at probes, no
+    # per-position membership scan, no array_append accumulator
+    dup_starts = F.expr(
+        "CASE WHEN size(_g10s) = 0 THEN CAST(array() AS ARRAY<INT>) "
+        "ELSE array_sort(transform(filter(sequence(1, size(_g10s)), "
+        "j -> (j > 1 AND element_at(_g10s, j).gh = "
+        "      element_at(_g10s, j - 1).gh) "
+        "  OR (j < size(_g10s) AND element_at(_g10s, j).gh = "
+        "      element_at(_g10s, j + 1).gh)), "
+        "j -> element_at(_g10s, j).i)) END")
+    # two-step select so the start-positions array is a bound attribute
+    # before the summing lambda (opaque to CSE otherwise)
+    staged = base.select('doc_id', *keep, '_chars', '_toks',
+                         top2.alias('_top2'), dup_starts.alias('_dupS'))
+    # positional coverage = union of [s, s+9] windows over the SORTED
+    # duplicated starts, interval-merged in one pass: each start adds
+    # only its not-yet-covered suffix [max(s, prev_end + 1), s + 9]
+    # (never empty: consecutive starts differ by >= 1, so
+    # prev_end + 1 = prev_s + 10 <= s + 9), so every covered position's
+    # token length is summed exactly once -- equal to the distinct-
+    # position sum by construction
+    dup10 = F.expr(
+        "aggregate(_dupS, named_struct('pe', -1, 'acc', 0L), "
+        "(a, s) -> named_struct('pe', s + 9, "
+        "  'acc', a.acc + aggregate(sequence(greatest(s, a.pe + 1), s + 9), "
+        "    0L, (x, k) -> x + length(element_at(_toks, k + 1)))), "
+        "a -> a.acc)")
     out = staged.select('doc_id', *keep, '_chars', '_top2',
                         dup10.alias('_dup10'))
     top2f = (F.coalesce('_top2', F.lit(0)).cast('double')
@@ -393,6 +400,12 @@ def language_id(df, text_col='text'):
 
     Deterministic tie-break: cjk beats all, then en > de > fr > es in
     fixed priority with >= comparisons.
+
+    The per-language hit counts and the cjk ratio are materialized
+    behind a collapse barrier before the ``pred_lang`` CASE chain
+    (same reason as :func:`text_profile`: conditional branches defeat
+    codegen subexpression elimination, so the inline form re-ran the
+    tokenize+distinct+intersect chain once per branch).
     """
     text = F.col(text_col)
     toks = F.array_distinct(tokens_col(text, lower=True))
@@ -404,19 +417,26 @@ def language_id(df, text_col='text'):
     cjk = F.length(F.regexp_replace(text, CJK_PATTERN, ''))
     cjk_ratio = ((F.length(text) - cjk).cast('double')
                  / F.greatest(F.length(text), F.lit(1)).cast('double'))
+    base = (df.select(
+        'doc_id',
+        *[hits[lang].alias('_h_' + lang) for lang in STOPWORDS],
+        cjk_ratio.alias('_cjkr'),
+        F.explode(F.array(F.lit(1))).alias('_b')).drop('_b'))
+    h = {lang: F.col('_h_' + lang) for lang in STOPWORDS}
+    cjk_ratio = F.col('_cjkr')
     pred = (
         F.when(cjk_ratio > 0.2, 'zh')
-        .when((hits['en'] >= hits['de']) & (hits['en'] >= hits['fr'])
-              & (hits['en'] >= hits['es']), 'en')
-        .when((hits['de'] >= hits['fr']) & (hits['de'] >= hits['es']), 'de')
-        .when(hits['fr'] >= hits['es'], 'fr')
+        .when((h['en'] >= h['de']) & (h['en'] >= h['fr'])
+              & (h['en'] >= h['es']), 'en')
+        .when((h['de'] >= h['fr']) & (h['de'] >= h['es']), 'de')
+        .when(h['fr'] >= h['es'], 'fr')
         .otherwise('es'))
     cols = [F.col('doc_id')]
-    cols += [hits[lang].cast('long').alias('%s_hits' % lang)
+    cols += [h[lang].cast('long').alias('%s_hits' % lang)
              for lang in STOPWORDS]
     cols += [F.round(cjk_ratio, 6).alias('cjk_ratio'),
              pred.alias('pred_lang')]
-    return df.select(*cols)
+    return base.select(*cols)
 
 
 def fingerprints(df, text_col='text'):
@@ -440,57 +460,78 @@ def text_profile(df, text_col='text'):
     :func:`quality_scores` (its token count as ``n_tokens_lower``),
     :func:`language_id` and :func:`fingerprints` on doc_id, but with no
     joins: at corpus scale the join form shuffles the corpus three
-    times for what is a narrow per-row computation.  Repeated
-    subexpressions (the two tokenizers, the distinct token set) are
-    shared by Catalyst's subexpression elimination within the single
-    Project -- none sit inside lambda bodies, so no collapse barrier is
-    needed.
+    times for what is a narrow per-row computation.
+
+    r06: the two tokenizers, the distinct token set and the per-language
+    stopword hits are materialized behind collapse barriers before the
+    ``pred_lang`` CASE chain -- expressions that appear only inside
+    conditional branches are excluded from codegen subexpression
+    elimination, so the single-Project form re-evaluated the de/fr/es
+    intersections (each over the full tokenize+distinct chain) once per
+    CASE branch (22 ``split()`` occurrences in the r05 optimized plan;
+    7.5 s -> 5.6 s at sf1.0 from staging).  Still one narrow
+    zero-shuffle codegen pipeline -- barriers are Generate nodes, not
+    exchanges.
     """
     text = F.col(text_col)
-    toks = tokens_col(text)
-    toks_l = tokens_col(text, lower=True)
-    dt = F.array_distinct(toks_l)
+    base = (df.select(
+        'doc_id', text.alias('_text'),
+        tokens_col(text).alias('_toks'),
+        tokens_col(text, lower=True).alias('_toksl'),
+        F.explode(F.array(F.lit(1))).alias('_b')).drop('_b'))
+    b2 = (base.select(
+        'doc_id', '_text', '_toks', '_toksl',
+        F.array_distinct('_toksl').alias('_dt'),
+        F.explode(F.array(F.lit(1))).alias('_b')).drop('_b'))
+    text = F.col('_text')
     n_chars = F.length(text)
-    alnum_sp = F.length(F.regexp_replace(text, '[^a-zA-Z0-9 ]', ''))
-    n_tokens_l = F.size(toks_l)
-    mean_tok = (n_chars.cast('double')
-                / F.greatest(n_tokens_l, F.lit(1)).cast('double'))
     hits = {
         lang: F.size(F.array_intersect(
-            dt, F.array(*[F.lit(w) for w in words])))
+            '_dt', F.array(*[F.lit(w) for w in words])))
         for lang, words in STOPWORDS.items()
     }
     cjk = F.length(F.regexp_replace(text, CJK_PATTERN, ''))
     cjk_ratio = ((n_chars - cjk).cast('double')
                  / F.greatest(n_chars, F.lit(1)).cast('double'))
+    b3 = (b2.select(
+        'doc_id', '_text', '_toks', '_toksl', '_dt',
+        *[hits[lang].alias('_h_' + lang) for lang in STOPWORDS],
+        cjk_ratio.alias('_cjkr'),
+        F.explode(F.array(F.lit(1))).alias('_b')).drop('_b'))
+    h = {lang: F.col('_h_' + lang) for lang in STOPWORDS}
+    cjk_ratio = F.col('_cjkr')
     pred = (
         F.when(cjk_ratio > 0.2, 'zh')
-        .when((hits['en'] >= hits['de']) & (hits['en'] >= hits['fr'])
-              & (hits['en'] >= hits['es']), 'en')
-        .when((hits['de'] >= hits['fr']) & (hits['de'] >= hits['es']),
+        .when((h['en'] >= h['de']) & (h['en'] >= h['fr'])
+              & (h['en'] >= h['es']), 'en')
+        .when((h['de'] >= h['fr']) & (h['de'] >= h['es']),
               'de')
-        .when(hits['fr'] >= hits['es'], 'fr')
+        .when(h['fr'] >= h['es'], 'fr')
         .otherwise('es'))
-    return df.select(
+    alnum_sp = F.length(F.regexp_replace(text, '[^a-zA-Z0-9 ]', ''))
+    n_tokens_l = F.size('_toksl')
+    mean_tok = (n_chars.cast('double')
+                / F.greatest(n_tokens_l, F.lit(1)).cast('double'))
+    return b3.select(
         'doc_id',
-        F.size(toks).cast('long').alias('n_tokens'),
-        F.size(F.array_distinct(toks)).cast('long')
+        F.size('_toks').cast('long').alias('n_tokens'),
+        F.size(F.array_distinct('_toks')).cast('long')
         .alias('n_distinct_tokens'),
         n_chars.cast('long').alias('n_chars_text'),
         n_tokens_l.cast('long').alias('n_tokens_lower'),
         ((n_chars - alnum_sp).cast('double')
          / F.greatest(n_chars, F.lit(1)).cast('double'))
         .alias('punct_ratio'),
-        hits['en'].cast('long').alias('en_stopword_hits'),
+        h['en'].cast('long').alias('en_stopword_hits'),
         mean_tok.alias('mean_token_len'),
         ((n_tokens_l >= 10) & (mean_tok < 12.0)).cast('long')
         .alias('quality_ok'),
-        *[hits[lang].cast('long').alias('%s_hits' % lang)
+        *[h[lang].cast('long').alias('%s_hits' % lang)
           for lang in STOPWORDS],
         F.round(cjk_ratio, 6).alias('cjk_ratio'),
         pred.alias('pred_lang'),
         F.md5(text).alias('content_sig'),
-        F.md5(F.array_join(F.array_sort(dt), ' ')).alias('tokenset_sig'),
+        F.md5(F.array_join(F.array_sort('_dt'), ' ')).alias('tokenset_sig'),
     )
 
 
