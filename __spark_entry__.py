@@ -50,19 +50,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_extract_content(spark, sf_dir):
-    """M3-M6: fused blockify+featurize+predict+assemble."""
+    """M3-M6: fused blockify+featurize+predict+assemble.
+
+    r06: single-stage ``synthesize_and_extract`` (spans never cross the
+    Arrow boundary) + the tiny edge-doc branch through the regular
+    ``extract`` path; identical rows to the r05 two-stage form."""
     from dragnet_spark.operators.extract import extract
-    from dragnet_spark.sources.synthesis import synthesize_corpus
-    spans_df, _ = synthesize_corpus(spark, sf_dir)
-    return extract(spans_df).select('doc_id', 'content_text', 'status')
+    from dragnet_spark.sources.synthesis import (edge_docs_dfs,
+                                                 synthesize_and_extract)
+    fused = synthesize_and_extract(spark, sf_dir)
+    edge_spans, _ = edge_docs_dfs(spark)
+    return (fused.unionByName(extract(edge_spans))
+            .select('doc_id', 'content_text', 'status'))
 
 
 def q_extract_spans(spark, sf_dir):
-    """M5 span reassembly: exploded output spans incl. media passthrough."""
+    """M5 span reassembly: exploded output spans incl. media passthrough.
+
+    r06: same single-stage fusion as ``q_extract_content``."""
     from dragnet_spark.operators.extract import extract
-    from dragnet_spark.sources.synthesis import synthesize_corpus
-    spans_df, _ = synthesize_corpus(spark, sf_dir)
-    out = extract(spans_df)
+    from dragnet_spark.sources.synthesis import (edge_docs_dfs,
+                                                 synthesize_and_extract)
+    fused = synthesize_and_extract(spark, sf_dir)
+    edge_spans, _ = edge_docs_dfs(spark)
+    out = fused.unionByName(extract(edge_spans))
     return out.select(
         'doc_id', F.explode('spans').alias('s')
     ).select('doc_id', F.col('s.offset').alias('offset'),
@@ -72,11 +83,16 @@ def q_extract_spans(spark, sf_dir):
 
 
 def q_blockify_blocks(spark, sf_dir):
-    """P1-P12: blocks as a DataFrame with densities + tagcount features."""
-    from dragnet_spark.operators.blocks_df import blockify_df
-    from dragnet_spark.sources.synthesis import synthesize_corpus
-    spans_df, _ = synthesize_corpus(spark, sf_dir)
-    return blockify_df(spans_df).select(
+    """P1-P12: blocks as a DataFrame with densities + tagcount features.
+
+    r06: single-stage synthesis+blockify fusion (guide §4.1) + the tiny
+    edge-doc branch through the regular ``blockify_df`` path."""
+    from dragnet_spark.operators.blocks_df import (blockify_df,
+                                                   synthesize_and_blockify)
+    from dragnet_spark.sources.synthesis import edge_docs_dfs
+    fused = synthesize_and_blockify(spark, sf_dir)
+    edge_spans, _ = edge_docs_dfs(spark)
+    return fused.unionByName(blockify_df(edge_spans)).select(
         'doc_id', 'block_idx', 'text', 'link_density', 'text_density',
         'tagcount', 'tagcount_since_last_block', 'anchor_count',
         'min_depth_since_last_block', 'block_start_tag', 'pred')
@@ -86,10 +102,12 @@ def q_block_features(spark, sf_dir):
     """F1-F4+F7: the 9-column feature union per block, posexploded to
     scalar (feature_idx, value) rows so the harness canonicalizer can
     sort/hash them (arrays are unhashable driver-side)."""
-    from dragnet_spark.operators.blocks_df import blockify_df
-    from dragnet_spark.sources.synthesis import synthesize_corpus
-    spans_df, _ = synthesize_corpus(spark, sf_dir)
-    blocks = blockify_df(spans_df)
+    from dragnet_spark.operators.blocks_df import (blockify_df,
+                                                   synthesize_and_blockify)
+    from dragnet_spark.sources.synthesis import edge_docs_dfs
+    edge_spans, _ = edge_docs_dfs(spark)
+    blocks = synthesize_and_blockify(spark, sf_dir).unionByName(
+        blockify_df(edge_spans))
     return blocks.select(
         'doc_id', 'block_idx',
         F.posexplode('features').alias('feature_idx', 'value')
@@ -99,23 +117,42 @@ def q_block_features(spark, sf_dir):
 
 
 def q_gold_block_labeling(spark, sf_dir):
-    """G1-G5: LCS gold-standard block labeling."""
-    from dragnet_spark.operators.labeling import gold_blocks
-    from dragnet_spark.sources.synthesis import synthesize_corpus
-    spans_df, gold_df = synthesize_corpus(spark, sf_dir)
-    return gold_blocks(spans_df, gold_df).select(
+    """G1-G5: LCS gold-standard block labeling.
+
+    r06: single-stage synthesis+blockify+LCS fusion -- no second gold
+    synthesis pass, no doc_id shuffle join of opaque python outputs
+    (guide §4.1/§2.4); edge docs keep the regular two-input path."""
+    from dragnet_spark.operators.labeling import (gold_blocks,
+                                                  synthesize_and_label)
+    from dragnet_spark.sources.synthesis import edge_docs_dfs
+    fused = synthesize_and_label(spark, sf_dir)
+    edge_spans, edge_gold = edge_docs_dfs(spark)
+    return fused.unionByName(gold_blocks(edge_spans, edge_gold)).select(
         'doc_id', 'block_idx', 'content_frac', 'comments_frac',
         'label_content', 'label_comments', 'weight')
 
 
 def q_token_f1_extraction(spark, sf_dir):
     """E2 on the real pipeline: corpus-level token metrics of the shipped
-    model vs synthetic gold."""
+    model vs synthetic gold.
+
+    r06: ``synthesize_extract_gold`` emits (content, gold) from ONE
+    python stage -- the r05 form paid a second full synthesis pass for
+    the gold table plus a doc_id shuffle join of two opaque python
+    outputs (guide §4.1); the edge docs keep the regular
+    extract-join-gold path."""
     from dragnet_spark.operators.extract import extract
-    from dragnet_spark.operators.metrics import token_f1
-    from dragnet_spark.sources.synthesis import synthesize_corpus
-    spans_df, gold_df = synthesize_corpus(spark, sf_dir)
-    res = token_f1(extract(spans_df), gold_df)
+    from dragnet_spark.operators.metrics import token_f1_corpus
+    from dragnet_spark.sources.synthesis import (edge_docs_dfs,
+                                                 synthesize_extract_gold)
+    fused = synthesize_extract_gold(spark, sf_dir)
+    edge_spans, edge_gold = edge_docs_dfs(spark)
+    edge = (extract(edge_spans).select('doc_id', 'content_text')
+            .join(edge_gold.select(
+                'doc_id',
+                F.col('content_text').alias('content_text_gold')),
+                'doc_id'))
+    res = token_f1_corpus(fused.unionByName(edge))
     return res.select(F.round('precision', 4).alias('precision'),
                       F.round('recall', 4).alias('recall'),
                       F.round('f1', 4).alias('f1'), 'n_docs')
@@ -258,14 +295,24 @@ def q_duplicated_passages(spark, sf_dir):
     n-grams): every passage in >= 2 distinct docs with document
     frequency and occurrence counts, over documents plus planted
     copies.  One codegen projection -> explode -> hash-groupBy; fully
-    SQL-expressible, hash-checked."""
-    from dragnet_spark.operators.dedup import duplicated_passages
+    SQL-expressible, hash-checked.
+
+    r06: a planted copy shares its source's text, so its passage rows
+    are derived by FANNING OUT doc_ids after the signature projection
+    (one scan + one tokenize+md5 pass) instead of union-ing a second
+    scan that re-tokenizes and re-hashes the planted quarter of the
+    corpus; identical (sig, doc_id) multiset by construction."""
+    from dragnet_spark.operators.dedup import (duplicated_passage_stats,
+                                               passage_sig_rows)
     docs = _docs(spark, sf_dir).select('doc_id', 'text')
-    planted = docs.unionByName(
-        docs.where(F.col('doc_id') % 4 == 0)
-        .select((F.col('doc_id') + F.lit(1_000_000)).alias('doc_id'),
-                'text'))
-    return (duplicated_passages(planted)
+    rows = passage_sig_rows(docs)
+    fan = rows.select(
+        F.explode(
+            F.when(F.col('_id') % 4 == 0,
+                   F.array(F.col('_id'), F.col('_id') + F.lit(1_000_000)))
+            .otherwise(F.array(F.col('_id')))).alias('_id'),
+        '_sig')
+    return (duplicated_passage_stats(fan)
             .select('passage_sig', 'n_docs', 'n_occurrences',
                     'first_doc_id'))
 

@@ -82,6 +82,22 @@ def doc_to_block_rows(doc_id, spans, model, features=DEFAULT_FEATURES):
     return rows
 
 
+def synthesize_and_blockify(spark, sf_dir, amplification=1, model=None,
+                            features=DEFAULT_FEATURES, num_partitions=None):
+    """Synthesis + blockify in ONE python stage (r06): same rows as
+    ``blockify_df(synthesize_corpus(...)[0])`` for the parquet corpus,
+    without the fat span structs ever crossing the Arrow boundary."""
+    from ..sources.synthesis import synthesize_fused
+
+    model = model or default_model()
+
+    def per_doc(sid, span_dicts, gold_c, gold_m):
+        return doc_to_block_rows(sid, span_dicts, model, features)
+
+    return synthesize_fused(spark, sf_dir, per_doc, BLOCKS_PA_SCHEMA,
+                            BLOCKS_DDL, amplification, num_partitions)
+
+
 def blockify_df(df, model=None, features=DEFAULT_FEATURES):
     """DataFrame[(doc_id, spans)] -> exploded blocks DataFrame."""
     model = model or default_model()

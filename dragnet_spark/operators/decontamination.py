@@ -28,19 +28,25 @@ DECON_NGRAM = 13
 
 def _gram_rows(df, text_col, id_col, n, out_id):
     """(out_id, gram_sig) rows: md5-signed token n-grams, tokenized
-    ONCE per row behind the shared collapse barrier."""
+    ONCE per row behind the shared collapse barrier.
+
+    The md5 runs INSIDE the n-gram transform lambda, so the explode
+    emits signatures directly as a bound attribute.  The r05 form
+    exploded gram strings and md5'd them in a Project above the
+    Generate; the inner join on ``gram_sig`` then inferred
+    ``isnotnull(md5(...))`` and pushed it below that Project, computing
+    every md5 TWICE (same conditional-duplication hole as the minhash
+    ``InferFiltersFromGenerate`` fix, guide §4.4 analogue)."""
     from .text_analysis import tokens_barrier
     tk = tokens_barrier(df, text_col=text_col, id_col=id_col,
                         out_id=out_id)
-    grams = F.when(
+    sigs = F.when(
         F.size('_toks') >= n,
         F.expr("transform(sequence(0, size(_toks) - {n}), "
-               "i -> array_join(slice(_toks, i + 1, {n}), ' '))"
-               .format(n=n))
+               "i -> md5(cast(array_join(slice(_toks, i + 1, {n}), ' ') "
+               "as binary)))".format(n=n))
     ).otherwise(F.array())
-    return (tk.select(out_id, F.explode(grams).alias('_g'))
-            .select(out_id,
-                    F.md5(F.col('_g').cast('binary')).alias('gram_sig')))
+    return tk.select(out_id, F.explode(sigs).alias('gram_sig'))
 
 
 def benchmark_ngrams(bench_df, text_col='text', id_col='doc_id',

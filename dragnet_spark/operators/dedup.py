@@ -65,24 +65,60 @@ def exact_dedup_incremental(new_docs, store_path, text_col='text',
     """
     spark = new_docs.sparkSession
     batch = new_docs.withColumn('content_sig', F.md5(F.col(text_col)))
-    n_batch = batch.count()
-    canon = (batch.groupBy('content_sig')
-             .agg(F.min(id_col).alias('_keep_id')))
-    within = (batch.join(canon,
-                         (batch['content_sig'] == canon['content_sig'])
-                         & (batch[id_col] == canon['_keep_id']))
-              .drop('_keep_id').drop(canon['content_sig']))
-    n_within = within.count()
+    # r06 (ADVICE r05): the three counters + the store append each
+    # re-executed the full upstream batch plan (~5x the dominant cost
+    # for a daily-batch shape); persist the batch around them -- the
+    # ONE traversal of upstream data -- and unpersist before returning,
+    # so the caller's materialization recomputes upstream once, not 4x.
+    batch.persist()
     try:
-        store = spark.read.parquet(store_path).select('content_sig')
-        fresh = within.join(store, 'content_sig', 'left_anti')
-    except Exception:
-        fresh = within  # first batch: no store yet
-    n_fresh = fresh.count()
-    (fresh.select('content_sig')
-     .write.mode('append').parquet(store_path))
+        n_batch = batch.count()
+        canon = (batch.groupBy('content_sig')
+                 .agg(F.min(id_col).alias('_keep_id')))
+        within = (batch.join(canon,
+                             (batch['content_sig'] == canon['content_sig'])
+                             & (batch[id_col] == canon['_keep_id']))
+                  .drop('_keep_id').drop(canon['content_sig']))
+        n_within = within.count()
+        store = _read_store(spark, store_path, ['content_sig'])
+        fresh = (within if store is None
+                 else within.join(store, 'content_sig', 'left_anti'))
+        n_fresh = fresh.count()
+        (fresh.select('content_sig')
+         .write.mode('append').parquet(store_path))
+    finally:
+        batch.unpersist()
     return (fresh.drop('content_sig'),
             n_batch - n_within, n_within - n_fresh)
+
+
+def _read_store(spark, store_path, cols):
+    """Read a signature store, returning None ONLY when the path does
+    not exist yet (the legitimate first-batch case).
+
+    Any other read failure -- corrupt footer, permissions, transient FS
+    error -- RAISES: the r05 form swallowed every exception as "first
+    batch", silently disabling dedup-vs-store for the batch and
+    re-seeding the store on the exact failure day it matters (VERDICT
+    r05 "What's wrong #1").  Mirrors ``checkpoint.py``'s path-absent
+    detection: structured error class first, message substring as the
+    cross-version fallback.
+    """
+    from pyspark.errors import AnalysisException
+    try:
+        df = spark.read.parquet(store_path)
+        return df.select(*cols) if cols else df
+    except AnalysisException as e:
+        cls = None
+        try:
+            cls = e.getErrorClass()
+        except Exception:
+            pass
+        msg = str(e)
+        if (cls == 'PATH_NOT_FOUND' or 'PATH_NOT_FOUND' in msg
+                or 'Path does not exist' in msg):
+            return None
+        raise
 
 
 # -- exact token-set Jaccard (oracle-checkable pair join) --------------------
@@ -234,37 +270,45 @@ def minhash_dedup_incremental(new_docs, store_path, text_col='text',
     batch = new_docs.join(
         assign.where(F.col('is_canonical') == 1).select('doc_id'),
         'doc_id', 'left_semi')
-    n_in = new_docs.count()
-    n_within = batch.count()
+    # r06 (ADVICE r05): persist the within-batch survivors and their
+    # signatures -- the LSH cluster-assignment fixpoint above is the
+    # dominant cost and was re-executed by every count and the store
+    # append; both persists are dropped before returning.
+    batch.persist()
     sigs = minhash_signatures(batch, text_col, k)
-    hcols = ['h%d' % i for i in range(k)]
-    fresh_ids = sigs.select('doc_id')
+    sigs.persist()
     try:
-        store = spark.read.parquet(store_path)
-        bk_new = (band_key_rows(sigs, k, bands)
-                  .withColumnRenamed('doc_id', '_new_id'))
-        bk_old = (band_key_rows(store, k, bands)
-                  .withColumnRenamed('doc_id', '_old_id'))
-        cand = (F.broadcast(bk_new).join(bk_old, 'bucket')
-                .select('_new_id', '_old_id').distinct())
-        joined = (cand
-                  .join(sigs.select(F.col('doc_id').alias('_new_id'),
-                                    *[F.col(h).alias(h + '_n')
-                                      for h in hcols]), '_new_id')
-                  .join(store.select(F.col('doc_id').alias('_old_id'),
-                                     *[F.col(h).alias(h + '_o')
-                                       for h in hcols]), '_old_id'))
-        agree = sum((F.col(h + '_n') == F.col(h + '_o')).cast('int')
-                    for h in hcols) / float(k)
-        dup_ids = (joined.where(agree >= threshold)
-                   .select(F.col('_new_id').alias('doc_id')).distinct())
-        fresh_ids = fresh_ids.join(dup_ids, 'doc_id', 'left_anti')
-    except Exception:
-        pass  # first batch: no store yet
-    fresh = batch.join(fresh_ids, 'doc_id', 'left_semi')
-    n_fresh = fresh.count()
-    (sigs.join(fresh_ids, 'doc_id', 'left_semi')
-     .write.mode('append').parquet(store_path))
+        n_in = new_docs.count()
+        n_within = batch.count()
+        hcols = ['h%d' % i for i in range(k)]
+        fresh_ids = sigs.select('doc_id')
+        store = _read_store(spark, store_path, None)
+        if store is not None:
+            bk_new = (band_key_rows(sigs, k, bands)
+                      .withColumnRenamed('doc_id', '_new_id'))
+            bk_old = (band_key_rows(store, k, bands)
+                      .withColumnRenamed('doc_id', '_old_id'))
+            cand = (F.broadcast(bk_new).join(bk_old, 'bucket')
+                    .select('_new_id', '_old_id').distinct())
+            joined = (cand
+                      .join(sigs.select(F.col('doc_id').alias('_new_id'),
+                                        *[F.col(h).alias(h + '_n')
+                                          for h in hcols]), '_new_id')
+                      .join(store.select(F.col('doc_id').alias('_old_id'),
+                                         *[F.col(h).alias(h + '_o')
+                                           for h in hcols]), '_old_id'))
+            agree = sum((F.col(h + '_n') == F.col(h + '_o')).cast('int')
+                        for h in hcols) / float(k)
+            dup_ids = (joined.where(agree >= threshold)
+                       .select(F.col('_new_id').alias('doc_id')).distinct())
+            fresh_ids = fresh_ids.join(dup_ids, 'doc_id', 'left_anti')
+        fresh = batch.join(fresh_ids, 'doc_id', 'left_semi')
+        n_fresh = fresh.count()
+        (sigs.join(fresh_ids, 'doc_id', 'left_semi')
+         .write.mode('append').parquet(store_path))
+    finally:
+        batch.unpersist()
+        sigs.unpersist()
     return fresh, n_in - n_within, n_within - n_fresh
 
 
@@ -537,6 +581,22 @@ def duplicated_passages(df, text_col='text', id_col='doc_id',
     behind the barrier ``_toks`` is a bound attribute, tokenized once
     per document.
     """
+    rows = passage_sig_rows(df, text_col=text_col, id_col=id_col, n=n,
+                            keep_passage=keep_example)
+    return duplicated_passage_stats(rows, min_docs=min_docs,
+                                    keep_example=keep_example)
+
+
+def passage_sig_rows(df, text_col='text', id_col='doc_id',
+                     n=PASSAGE_NGRAM, keep_passage=False):
+    """``(_id, _sig[, passage])`` exploded passage rows, tokenized ONCE
+    per document behind the collapse barrier (see
+    :func:`duplicated_passages`).
+
+    ``_sig`` is the BINARY 16-byte md5 (``unhex(md5(...))``) -- half
+    the shuffle bytes of the 32-char hex form; callers hex it back at
+    the output edge (r06, guide §2.3 "narrower types").
+    """
     from .text_analysis import tokens_barrier
     tk = tokens_barrier(df, text_col=text_col, id_col=id_col)
     grams = F.when(
@@ -545,19 +605,43 @@ def duplicated_passages(df, text_col='text', id_col='doc_id',
                "i -> array_join(slice(_toks, i + 1, {n}), ' '))"
                .format(n=n))
     ).otherwise(F.array())
-    exploded = (tk.select('_id', F.explode(grams).alias('passage'))
-                .select('_id', 'passage',
-                        F.md5(F.col('passage').cast('binary'))
-                        .alias('passage_sig')))
-    aggs = [F.countDistinct('_id').alias('n_docs'),
-            F.count('*').alias('n_occurrences'),
-            F.min('_id').alias('first_doc_id')]
-    cols = ['passage_sig', 'n_docs', 'n_occurrences', 'first_doc_id']
+    ex = tk.select('_id', F.explode(grams).alias('passage'))
+    sig = F.unhex(F.md5(F.col('passage').cast('binary'))).alias('_sig')
+    if keep_passage:
+        return ex.select('_id', sig, 'passage')
+    return ex.select('_id', sig)
+
+
+def duplicated_passage_stats(rows, min_docs=2, keep_example=False):
+    """``(_id, _sig[, passage])`` rows -> the duplicated-passages table.
+
+    ONE exchange (r06, guide §2.4): the rows are hash-repartitioned by
+    ``_sig`` once; the ``(sig, id)`` roll-up and the per-sig aggregate
+    both then run exchange-free, because ``HashPartitioning(sig)``
+    satisfies ``ClusteredDistribution(sig, id)`` (subset partitioning).
+    The r05 ``countDistinct`` form paid two exchanges -- partial-agged
+    ``(sig, id, counts)`` rows and then per-``(sig, id)`` rows again --
+    and passages are near-unique within a document, so map-side partial
+    aggregation bought almost nothing.  Trade-off: a globally
+    mega-duplicated passage now lands on one partition as raw rows, but
+    the r05 second exchange concentrated the same ``(sig, id)`` row
+    volume on one partition anyway (count-distinct cannot be partially
+    merged); neither form changes the worst case.
+    """
+    per_doc_aggs = [F.count('*').alias('_cnt')]
     if keep_example:
-        aggs.append(F.min('passage').alias('passage'))
-        cols = ['passage_sig', 'passage', 'n_docs', 'n_occurrences',
-                'first_doc_id']
-    src = exploded if keep_example else exploded.drop('passage')
-    return (src.groupBy('passage_sig').agg(*aggs)
-            .where(F.col('n_docs') >= min_docs)
-            .select(*cols))
+        per_doc_aggs.append(F.min('passage').alias('_pmin'))
+    g1 = (rows.repartition('_sig')
+          .groupBy('_sig', '_id').agg(*per_doc_aggs))
+    aggs = [F.count('*').alias('n_docs'),
+            F.sum('_cnt').alias('n_occurrences'),
+            F.min('_id').alias('first_doc_id')]
+    if keep_example:
+        aggs.append(F.min('_pmin').alias('passage'))
+    out = (g1.groupBy('_sig').agg(*aggs)
+           .where(F.col('n_docs') >= min_docs))
+    cols = [F.lower(F.hex('_sig')).alias('passage_sig'), 'n_docs',
+            'n_occurrences', 'first_doc_id']
+    if keep_example:
+        cols.insert(1, F.col('passage'))
+    return out.select(*cols)

@@ -144,6 +144,23 @@ def label_document(doc_id, spans, content_text, comments_text,
     return rows
 
 
+def synthesize_and_label(spark, sf_dir, amplification=1,
+                         features=DEFAULT_FEATURES, num_partitions=None):
+    """Synthesis + blockify + LCS gold labeling in ONE python stage
+    (r06): same rows as ``gold_blocks(*synthesize_corpus(...))`` for
+    the parquet corpus -- the spans never cross the Arrow boundary, the
+    gold table is never re-synthesized in a second python pass, and the
+    doc_id shuffle join of two opaque python outputs disappears (the
+    spans and their gold are born in the same kernel call)."""
+    from ..sources.synthesis import synthesize_fused
+
+    def per_doc(sid, span_dicts, gold_c, gold_m):
+        return label_document(sid, span_dicts, gold_c, gold_m, features)
+
+    return synthesize_fused(spark, sf_dir, per_doc, GOLD_BLOCKS_PA_SCHEMA,
+                            GOLD_BLOCKS_DDL, amplification, num_partitions)
+
+
 def gold_blocks(spans_df, gold_df, features=DEFAULT_FEATURES):
     """(spans, gold) -> gold_blocks DataFrame.
 

@@ -136,6 +136,12 @@ def token_f1(extracted_df, gold_df):
         gold_df.select('doc_id',
                        F.col('content_text').alias('content_text_gold')),
         'doc_id')
+    return token_f1_corpus(joined)
+
+
+def token_f1_corpus(joined):
+    """Corpus token metrics from an already-joined/fused
+    ``(doc_id, content_text, content_text_gold)`` frame."""
     per_doc = token_f1_per_doc(joined)
     return per_doc.agg(
         F.avg('precision').alias('precision'),

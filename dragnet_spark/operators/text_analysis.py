@@ -320,24 +320,38 @@ def gopher_repetition_flags_rowwise(df, text_col='text',
     tk = (df.select('doc_id', *keep, F.expr(raw).alias('_tk'),
                     F.explode(F.array(F.lit(1))).alias('_b'))
           .drop('_b'))
-    t = '_tk'
-    base = tk.select(
+    # r06: hash every token ONCE into a long array behind a second
+    # barrier, then build gram hashes from longs.  Projections holding
+    # higher-order functions never enter whole-stage codegen (no
+    # doGenCode on HigherOrderFunction), so this operator runs in the
+    # INTERPRETED evaluator -- the r06 form hashed each token's string
+    # ~12x (once per overlapping 2-gram and 10-gram slice); hashing 8-
+    # byte longs instead cuts the dominant interpreted work.  Gram
+    # equality via equal hash values is unchanged in kind (the shuffle
+    # twin groups on 8-byte gram hashes too); only the internal hash
+    # VALUES differ, which the output fractions never see.
+    hk = (tk.select('doc_id', *keep, '_tk',
+                    F.expr('transform(_tk, x -> xxhash64(x))').alias('_th'),
+                    F.explode(F.array(F.lit(1))).alias('_b'))
+          .drop('_b'))
+    base = hk.select(
         'doc_id', *keep,
-        F.expr('aggregate(transform(%s, x -> length(x)), 0, '
-               '(a, x) -> a + x)' % t).alias('_chars'),
-        F.expr(t).alias('_toks'),
+        F.expr('aggregate(_tk, 0, (a, x) -> a + length(x))')
+        .alias('_chars'),
+        F.expr('_tk').alias('_toks'),
         # (hash, char-len) structs for 2-grams; sorted so equal hashes
         # are adjacent (struct sort orders by first field)
-        F.expr("CASE WHEN size({t}) >= 2 THEN array_sort(transform("
-               "sequence(0, size({t}) - 2), "
-               "i -> struct(xxhash64(slice({t}, i + 1, 2)) AS gh, "
-               "length(element_at({t}, i + 1)) "
-               "  + length(element_at({t}, i + 2)) AS glen))) "
-               "ELSE array() END".format(t=t)).alias('_g2'),
-        F.expr("CASE WHEN size({t}) >= 10 THEN array_sort(transform("
-               "sequence(0, size({t}) - 10), "
-               "i -> struct(xxhash64(slice({t}, i + 1, 10)) AS gh, "
-               "i AS i))) ELSE array() END".format(t=t)).alias('_g10s'))
+        F.expr("CASE WHEN size(_tk) >= 2 THEN array_sort(transform("
+               "sequence(0, size(_tk) - 2), "
+               "i -> struct(xxhash64(element_at(_th, i + 1), "
+               "            element_at(_th, i + 2)) AS gh, "
+               "length(element_at(_tk, i + 1)) "
+               "  + length(element_at(_tk, i + 2)) AS glen))) "
+               "ELSE array() END").alias('_g2'),
+        F.expr("CASE WHEN size(_tk) >= 10 THEN array_sort(transform("
+               "sequence(0, size(_tk) - 10), "
+               "i -> struct(xxhash64(slice(_th, i + 1, 10)) AS gh, "
+               "i AS i))) ELSE array() END").alias('_g10s'))
 
     # max over distinct 2-grams of (count x gram char len): single
     # aggregate pass over the sorted (gh, glen) structs
@@ -388,11 +402,25 @@ def gopher_repetition_flags_rowwise(df, text_col='text',
     dupf = (F.coalesce('_dup10', F.lit(0)).cast('double')
             / F.greatest('_chars', F.lit(1)).cast('double'))
     passes = (top2f <= max_top2) & (dupf <= max_dup10)
-    return out.select(
-        'doc_id', *keep,
+    # r06: the output rides through a STRUCT-EXPLODE barrier.  The
+    # explode(array(1)) barriers above stop projection collapse but NOT
+    # predicate pushdown: a downstream ``.where(passes_repetition = 1)``
+    # (curate_corpus, the streaming pipeline) was alias-substituted
+    # through every projection and Generate down the chain, inlining the
+    # whole tokenize+hash+sort pipeline into an interpreted Filter whose
+    # lambda-nested re-evaluation went O(n^2) per document (measured
+    # 3.15 s -> 133 s at sf0.01 for gate + where).  Filters on a
+    # GENERATOR OUTPUT cannot push below the Generate, so emitting the
+    # final columns as exploded struct fields pins them as attributes:
+    # any downstream predicate stops here and costs one struct-field
+    # probe per row.
+    out_struct = F.struct(
+        F.col('doc_id'), *keep,
         F.round(top2f, 6).alias('top_2gram_char_frac'),
         F.round(dupf, 6).alias('dup_10gram_char_frac'),
         passes.cast('long').alias('passes_repetition'))
+    return (out.select(F.explode(F.array(out_struct)).alias('_r'))
+            .select('_r.*'))
 
 
 def language_id(df, text_col='text'):

@@ -333,6 +333,118 @@ def edge_doc_rows():
     return span_rows, gold_rows
 
 
+def edge_docs_dfs(spark):
+    """(spans_df, gold_df) for the fixed edge-case docs -- the tiny
+    union branch the fused single-stage queries attach so their output
+    matches ``synthesize_corpus(include_edge_docs=True)`` pipelines."""
+    import pyspark.sql.types as T
+
+    spans_type = T.StructType([
+        T.StructField('doc_id', T.StringType()),
+        T.StructField('spans', T.ArrayType(T.StructType([
+            T.StructField('kind', T.StringType()),
+            T.StructField('text', T.StringType()),
+            T.StructField('media_ref', T.StringType()),
+            T.StructField('offset', T.IntegerType()),
+        ]))),
+    ])
+    gold_type = T.StructType([
+        T.StructField('doc_id', T.StringType()),
+        T.StructField('content_text', T.StringType()),
+        T.StructField('comments_text', T.StringType()),
+    ])
+    span_rows, gold_rows = edge_doc_rows()
+    return (spark.createDataFrame(span_rows, spans_type),
+            spark.createDataFrame(gold_rows, gold_type))
+
+
+def synthesize_fused(spark, sf_dir, per_doc_rows, pa_schema, ddl,
+                     amplification=1, num_partitions=None,
+                     docs_per_flush=1024):
+    """Synthesis + an arbitrary per-document kernel in ONE python stage.
+
+    The two-stage form (``synthesize_corpus`` -> join/mapInArrow) pays
+    the Arrow boundary twice with fat nested span rows, and any consumer
+    that also needs the gold table pays a SECOND full synthesis pass
+    (``gen_gold`` re-renders every document and discards the spans) plus
+    a doc_id shuffle join of two opaque python outputs (guide §4.1: you
+    control how many columns/rows cross the boundary).  Here
+    ``per_doc_rows(sid, span_dicts, gold_content, gold_comments)`` runs
+    right where the document is synthesized -- same id scheme and
+    rendering as :func:`synthesize_batches` -- so spans and gold never
+    cross the boundary at all, only the kernel's output rows.
+
+    Output batches are flushed every ``docs_per_flush`` documents to
+    bound per-batch memory.  Covers the parquet corpus only; callers
+    wanting edge-doc parity union the tiny :func:`edge_docs_dfs` branch.
+    """
+    if num_partitions is None:
+        num_partitions = 4 * spark.sparkContext.defaultParallelism
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet').select(
+        'doc_id', 'text')
+    if num_partitions:
+        docs = docs.repartition(num_partitions)
+
+    def gen(batches):
+        for rb in batches:
+            doc_ids = rb.column('doc_id').to_pylist()
+            texts = rb.column('text').to_pylist()
+            rows = []
+            n_done = 0
+            for did, text in zip(doc_ids, texts):
+                for rep in range(amplification):
+                    h = _h('%s:%d' % (did, rep), 10)
+                    host = ('h000' if h < 3 else 'h%03d'
+                            % (1 + _h('%s:%d:host' % (did, rep), 97)))
+                    sid = '%s/doc-%08d-%d' % (host, did, rep)
+                    spans, gold_c, gold_m = make_document(sid, text or '')
+                    span_dicts = [
+                        {'kind': k, 'text': t, 'media_ref': m, 'offset': o}
+                        for k, t, m, o in spans]
+                    rows.extend(per_doc_rows(sid, span_dicts,
+                                             gold_c, gold_m))
+                    n_done += 1
+                    if n_done >= docs_per_flush:
+                        yield pa.RecordBatch.from_pylist(rows,
+                                                         schema=pa_schema)
+                        rows, n_done = [], 0
+            if rows:
+                yield pa.RecordBatch.from_pylist(rows, schema=pa_schema)
+
+    return docs.mapInArrow(gen, ddl)
+
+
+EXTRACT_GOLD_DDL = ('doc_id string, content_text string, '
+                    'content_text_gold string')
+
+
+def synthesize_extract_gold(spark, sf_dir, amplification=1, model=None,
+                            num_partitions=None):
+    """Synthesis + extraction + gold content in ONE python stage:
+    ``(doc_id, content_text, content_text_gold)`` -- the token-F1
+    evaluation shape with no second synthesis pass and no doc_id join
+    of fat text (both sides are born in the same kernel call)."""
+    from ..model import default_model
+    from ..operators.extract import process_document
+
+    model = model or default_model()
+    schema = pa.schema([('doc_id', pa.string()),
+                        ('content_text', pa.string()),
+                        ('content_text_gold', pa.string())])
+
+    def per_doc(sid, span_dicts, gold_c, gold_m):
+        try:
+            _, content, _ = process_document(span_dicts, model)
+        except Exception:
+            content = ''
+        return [{'doc_id': sid, 'content_text': content,
+                 'content_text_gold': gold_c}]
+
+    return synthesize_fused(spark, sf_dir, per_doc, schema,
+                            EXTRACT_GOLD_DDL, amplification,
+                            num_partitions)
+
+
 def synthesize_corpus(spark, sf_dir, amplification=1, include_edge_docs=True,
                       num_partitions=None, chrome_by_host=False):
     """Distributed corpus synthesis: returns (spans_df, gold_df).

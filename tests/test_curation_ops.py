@@ -398,6 +398,29 @@ class TestIncrementalDedup:
         fresh, _, drop_store = exact_dedup_incremental(b, store)
         assert fresh.count() == 0 and drop_store == 2
 
+    def test_corrupted_store_fails_loudly(self, spark, tmp_path):
+        # VERDICT r05 "What's wrong #1": a store-read failure other than
+        # path-absent must RAISE, not masquerade as "first batch" and
+        # silently skip dedup-vs-store + re-seed the store.
+        from dragnet_spark.operators.dedup import exact_dedup_incremental
+        store = str(tmp_path / 'sigstore3')
+        b = spark.createDataFrame([(1, 'doc one')],
+                                  'doc_id long, text string')
+        exact_dedup_incremental(b, store)  # seed a real store
+        # corrupt every parquet footer in place
+        import pathlib
+        for p in pathlib.Path(store).glob('*.parquet'):
+            p.write_bytes(b'not a parquet file')
+        with pytest.raises(Exception) as ei:
+            fresh, _, _ = exact_dedup_incremental(b, store)
+            fresh.count()
+        assert 'PATH_NOT_FOUND' not in str(ei.value)
+
+    def test_missing_store_is_still_first_batch(self, spark, tmp_path):
+        from dragnet_spark.operators.dedup import _read_store
+        assert _read_store(spark, str(tmp_path / 'nope'),
+                           ['content_sig']) is None
+
 
 @pytest.mark.spark
 class TestQualityModel:
