@@ -136,23 +136,33 @@ def q_token_f1_extraction(spark, sf_dir):
     """E2 on the real pipeline: corpus-level token metrics of the shipped
     model vs synthetic gold.
 
-    r06: ``synthesize_extract_gold`` emits (content, gold) from ONE
-    python stage -- the r05 form paid a second full synthesis pass for
-    the gold table plus a doc_id shuffle join of two opaque python
-    outputs (guide §4.1); the edge docs keep the regular
-    extract-join-gold path."""
+    r06: ``synthesize_extract_gold_counts`` emits the per-doc token
+    COUNTS from ONE python stage -- the r05 form paid a second full
+    synthesis pass for the gold table, a doc_id shuffle join of two
+    opaque python outputs, and a ~4.3 s JVM re-tokenize of both texts
+    (guide §4.1); the ratio arithmetic stays in the JVM
+    (``token_f1_from_counts``, bit-identical on exact int counts), and
+    the edge docs keep the regular extract-join-gold SQL path."""
     from dragnet_spark.operators.extract import extract
-    from dragnet_spark.operators.metrics import token_f1_corpus
-    from dragnet_spark.sources.synthesis import (edge_docs_dfs,
-                                                 synthesize_extract_gold)
-    fused = synthesize_extract_gold(spark, sf_dir)
+    from dragnet_spark.operators.metrics import (token_f1_from_counts,
+                                                 token_f1_per_doc)
+    from dragnet_spark.sources.synthesis import (
+        edge_docs_dfs, synthesize_extract_gold_counts)
+    fused = token_f1_from_counts(
+        synthesize_extract_gold_counts(spark, sf_dir))
     edge_spans, edge_gold = edge_docs_dfs(spark)
-    edge = (extract(edge_spans).select('doc_id', 'content_text')
-            .join(edge_gold.select(
-                'doc_id',
-                F.col('content_text').alias('content_text_gold')),
-                'doc_id'))
-    res = token_f1_corpus(fused.unionByName(edge))
+    edge = token_f1_per_doc(
+        extract(edge_spans).select('doc_id', 'content_text')
+        .join(edge_gold.select(
+            'doc_id',
+            F.col('content_text').alias('content_text_gold')),
+            'doc_id'))
+    per_doc = fused.unionByName(edge)
+    res = per_doc.agg(
+        F.avg('precision').alias('precision'),
+        F.avg('recall').alias('recall'),
+        F.avg('f1').alias('f1'),
+        F.count('*').alias('n_docs'))
     return res.select(F.round('precision', 4).alias('precision'),
                       F.round('recall', 4).alias('recall'),
                       F.round('f1', 4).alias('f1'), 'n_docs')
@@ -504,10 +514,15 @@ def q_pdf_layout_blocks(spark, sf_dir):
 def q_pdf_extract_content(spark, sf_dir):
     """De-chromed PDF content: write -> Flate -> parse -> layout ->
     furniture strip must reproduce the whitespace-normalized source text
-    byte-for-byte (hash-checked against a pure-SQL oracle)."""
-    from dragnet_spark.operators.pdf_extract import (pdf_corpus,
-                                                     pdf_extract_content)
-    return (pdf_extract_content(pdf_corpus(spark, sf_dir))
+    byte-for-byte (hash-checked against a pure-SQL oracle).
+
+    r06: render+parse fused into one python stage (the compressed
+    payloads never cross the Arrow boundary); same `_content_row`
+    kernel as the two-stage form, so rows are identical by
+    construction."""
+    from dragnet_spark.operators.pdf_extract import (
+        synthesize_and_extract_pdf)
+    return (synthesize_and_extract_pdf(spark, sf_dir)
             .select('doc_id', 'title', 'content_text'))
 
 

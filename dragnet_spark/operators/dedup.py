@@ -134,15 +134,27 @@ def jaccard_pairs(df, text_col='text', threshold=0.8):
         'doc_id',
         F.array_distinct(tokens_col(F.col(text_col), lower=True)).alias('t'))
         .withColumn('n', F.size('t')))
-    ex = toks.select('doc_id', 'n', F.explode('t').alias('tok'))
+    # r06 (guide §2.3): the token self-join emits O(sum of per-token
+    # doc-pair counts) rows -- only (doc_a, doc_b) rides them now; the
+    # per-doc set sizes are re-attached AFTER the pair aggregation via
+    # two broadcast joins of the tiny (doc_id, n) table, instead of
+    # widening every join row with two ints and dragging two first()
+    # aggregates through the 10^7-row groupBy.
+    ex = toks.select('doc_id', F.explode('t').alias('tok'))
     a, b = ex.alias('a'), ex.alias('b')
     pairs = (a.join(b, (F.col('a.tok') == F.col('b.tok'))
                     & (F.col('a.doc_id') < F.col('b.doc_id')))
              .groupBy(F.col('a.doc_id').alias('doc_a'),
                       F.col('b.doc_id').alias('doc_b'))
-             .agg(F.count('*').alias('inter'),
-                  F.first(F.col('a.n')).alias('na'),
-                  F.first(F.col('b.n')).alias('nb')))
+             .agg(F.count('*').alias('inter')))
+    sizes = toks.select('doc_id', 'n')
+    pairs = (pairs
+             .join(F.broadcast(sizes.select(
+                 F.col('doc_id').alias('doc_a'), F.col('n').alias('na'))),
+                 'doc_a')
+             .join(F.broadcast(sizes.select(
+                 F.col('doc_id').alias('doc_b'), F.col('n').alias('nb'))),
+                 'doc_b'))
     jac = (F.col('inter').cast('double')
            / (F.col('na') + F.col('nb') - F.col('inter')).cast('double'))
     return (pairs.select('doc_a', 'doc_b', F.round(jac, 6).alias('jaccard'))
@@ -348,13 +360,23 @@ def minhash_near_duplicates(df, text_col='text', threshold=0.8,
     toks = shingle_df(df, text_col).select(
         'doc_id', F.col('shingles').alias('t'))
     cand = minhash_candidates(df, text_col, k=k, bands=bands)
+    # r06: both sides attach from the SAME un-renamed subtree (aliases
+    # above the joins, not per-side selects inside the join children),
+    # making the two broadcast subtrees structurally identical --
+    # measured NEUTRAL on this Spark build (4.1.2 plans two independent
+    # BroadcastQueryStages even for a minimal identical self-join, so
+    # the shingle table is still built twice); kept because it is the
+    # exchange-reuse-eligible shape and no worse.  A melt/regroup
+    # single-join alternative was measured and rejected for the
+    # embedding twin (similarity.py note); same trade here.
+    ta, tb = toks.alias('_sta'), toks.alias('_stb')
     joined = (cand
-              .join(toks.select(F.col('doc_id').alias('doc_a'),
-                                F.col('t').alias('ta')), 'doc_a')
-              .join(toks.select(F.col('doc_id').alias('doc_b'),
-                                F.col('t').alias('tb')), 'doc_b'))
-    inter = F.size(F.array_intersect('ta', 'tb')).cast('double')
-    union = (F.size('ta') + F.size('tb')).cast('double') - inter
+              .join(ta, F.col('doc_a') == F.col('_sta.doc_id'))
+              .join(tb, F.col('doc_b') == F.col('_stb.doc_id')))
+    inter = F.size(F.array_intersect(F.col('_sta.t'),
+                                     F.col('_stb.t'))).cast('double')
+    union = (F.size(F.col('_sta.t'))
+             + F.size(F.col('_stb.t'))).cast('double') - inter
     jac = inter / F.greatest(union, F.lit(1.0))
     return (joined.select('doc_a', 'doc_b', F.round(jac, 6).alias('jaccard'))
             .where(F.col('jaccard') >= threshold))

@@ -73,12 +73,23 @@ def token_f1_per_doc(df, pred_col='content_text', gold_col='content_text_gold'):
         F.size(a).cast('double').alias('_na'),
         F.explode(F.array(F.lit(1))).alias('_b'))
         .drop('_b'))
-    tp, np_, na = F.col('_tp'), F.col('_np'), F.col('_na')
+    return token_f1_from_counts(base)
+
+
+def token_f1_from_counts(df, tp_col='_tp', np_col='_np', na_col='_na'):
+    """Per-document P/R/F1 ratio columns from already-materialized
+    (|p n a|, |p|, |a|) count columns -- the ratio arithmetic shared by
+    the SQL tokenizer path and the fused python-counts path (the counts
+    are exact integers either way, so the double ratios are
+    bit-identical)."""
+    tp = F.col(tp_col).cast('double')
+    np_ = F.col(np_col).cast('double')
+    na = F.col(na_col).cast('double')
     precision = F.when(np_ > 0, tp / np_).otherwise(0.0)
     recall = F.when(na > 0, tp / na).otherwise(0.0)
     f1 = F.when((precision + recall) > 0,
                 2 * precision * recall / (precision + recall)).otherwise(0.0)
-    return base.select(
+    return df.select(
         'doc_id',
         precision.alias('precision'),
         recall.alias('recall'),

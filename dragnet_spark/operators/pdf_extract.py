@@ -117,6 +117,29 @@ def pdf_layout_blocks(df, dechrome=False, payload_col='payload'):
     return src.mapInArrow(gen, PDF_BLOCKS_DDL)
 
 
+_CONTENT_SCHEMA = pa.schema([
+    ('doc_id', pa.string()),
+    ('title', pa.string()),
+    ('n_pages', pa.int32()),
+    ('content_text', pa.string()),
+])
+_CONTENT_DDL = ('doc_id string, title string, n_pages int, '
+                'content_text string')
+
+
+def _content_row(doc_id, payload):
+    """One de-chromed content row from a PDF payload (shared by the
+    two-stage and fused paths so their outputs are identical by
+    construction)."""
+    blocks = _doc_blocks(doc_id, payload, dechrome=True)
+    title = next((b['text'] for b in blocks
+                  if b['kind'] == 'heading'), None)
+    body = ' '.join(b['text'] for b in blocks if b['kind'] == 'body')
+    n_pages = max((b['page'] for b in blocks), default=-1) + 1
+    return {'doc_id': doc_id, 'title': title,
+            'n_pages': n_pages, 'content_text': body}
+
+
 def pdf_extract_content(df, payload_col='payload'):
     """(doc_id, payload) -> (doc_id, title, n_pages, content_text).
 
@@ -128,28 +151,37 @@ def pdf_extract_content(df, payload_col='payload'):
     tests/test_pdf.py).
     """
     src = df.select('doc_id', F.col(payload_col).alias('_p'))
-    out_schema = pa.schema([
-        ('doc_id', pa.string()),
-        ('title', pa.string()),
-        ('n_pages', pa.int32()),
-        ('content_text', pa.string()),
-    ])
 
     def gen(batches):
         for rb in batches:
             ids = rb.column('doc_id').to_pylist()
             payloads = rb.column('_p').to_pylist()
-            rows = []
-            for d, p in zip(ids, payloads):
-                blocks = _doc_blocks(d, p, dechrome=True)
-                title = next((b['text'] for b in blocks
-                              if b['kind'] == 'heading'), None)
-                body = ' '.join(b['text'] for b in blocks
-                                if b['kind'] == 'body')
-                n_pages = max((b['page'] for b in blocks), default=-1) + 1
-                rows.append({'doc_id': d, 'title': title,
-                             'n_pages': n_pages, 'content_text': body})
-            yield pa.RecordBatch.from_pylist(rows, schema=out_schema)
+            yield pa.RecordBatch.from_pylist(
+                [_content_row(d, p) for d, p in zip(ids, payloads)],
+                schema=_CONTENT_SCHEMA)
 
-    return src.mapInArrow(
-        gen, 'doc_id string, title string, n_pages int, content_text string')
+    return src.mapInArrow(gen, _CONTENT_DDL)
+
+
+def synthesize_and_extract_pdf(spark, sf_dir, num_partitions=None):
+    """Render + parse + de-chrome in ONE python stage (r06): same rows
+    as ``pdf_extract_content(pdf_corpus(...))`` -- the Flate-compressed
+    payload bytes never cross the Arrow boundary at all (guide §4.1),
+    they are parsed right where they are written."""
+    if num_partitions is None:
+        num_partitions = 4 * spark.sparkContext.defaultParallelism
+    docs = (spark.read.parquet(f'{sf_dir}/documents.parquet')
+            .select(F.col('doc_id').cast('string').alias('doc_id'), 'text'))
+    if num_partitions:
+        docs = docs.repartition(num_partitions)
+
+    def gen(batches):
+        for rb in batches:
+            ids = rb.column('doc_id').to_pylist()
+            texts = rb.column('text').to_pylist()
+            yield pa.RecordBatch.from_pylist(
+                [_content_row(d, render_pdf(d, t))
+                 for d, t in zip(ids, texts)],
+                schema=_CONTENT_SCHEMA)
+
+    return docs.mapInArrow(gen, _CONTENT_DDL)

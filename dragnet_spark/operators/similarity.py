@@ -344,15 +344,19 @@ def embedding_near_duplicates(df, threshold=0.9, vec_col='embedding',
     vecs = with_norm(df, vec_col).select(
         F.col(id_col).alias('vid'), F.col(vec_col).alias('_v'),
         F.col('_norm').alias('_n'))
+    # r06: the two vector attachments join the SAME un-renamed subtree
+    # (aliases applied ABOVE the join, not per-side selects inside the
+    # join children) -- the exchange-reuse-eligible shape.  Measured
+    # NEUTRAL on this Spark build (4.1.2 plans two independent
+    # BroadcastQueryStages even for minimal identical self-joins);
+    # kept because it is no worse and reuse-ready.
+    va, vb = vecs.alias('_sva'), vecs.alias('_svb')
     joined = (cand
-              .join(vecs.select(F.col('vid').alias('vec_a'),
-                                F.col('_v').alias('_va'),
-                                F.col('_n').alias('_na')), 'vec_a')
-              .join(vecs.select(F.col('vid').alias('vec_b'),
-                                F.col('_v').alias('_vb'),
-                                F.col('_n').alias('_nb')), 'vec_b'))
-    cosine = (_dot(F.col('_va'), F.col('_vb'))
-              / F.greatest(F.col('_na') * F.col('_nb'), F.lit(1e-300)))
+              .join(va, F.col('vec_a') == F.col('_sva.vid'))
+              .join(vb, F.col('vec_b') == F.col('_svb.vid')))
+    cosine = (_dot(F.col('_sva._v'), F.col('_svb._v'))
+              / F.greatest(F.col('_sva._n') * F.col('_svb._n'),
+                           F.lit(1e-300)))
     return (joined.select('vec_a', 'vec_b', F.round(cosine, 6).alias('cosine'))
             .where(F.col('cosine') >= threshold))
 

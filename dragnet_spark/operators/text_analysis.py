@@ -341,14 +341,14 @@ def gopher_repetition_flags_rowwise(df, text_col='text',
         F.expr('_tk').alias('_toks'),
         # (hash, char-len) structs for 2-grams; sorted so equal hashes
         # are adjacent (struct sort orders by first field)
-        F.expr("CASE WHEN size(_tk) >= 2 THEN array_sort(transform("
+        F.expr("CASE WHEN size(_tk) >= 2 THEN sort_array(transform("
                "sequence(0, size(_tk) - 2), "
                "i -> struct(xxhash64(element_at(_th, i + 1), "
                "            element_at(_th, i + 2)) AS gh, "
                "length(element_at(_tk, i + 1)) "
                "  + length(element_at(_tk, i + 2)) AS glen))) "
                "ELSE array() END").alias('_g2'),
-        F.expr("CASE WHEN size(_tk) >= 10 THEN array_sort(transform("
+        F.expr("CASE WHEN size(_tk) >= 10 THEN sort_array(transform("
                "sequence(0, size(_tk) - 10), "
                "i -> struct(xxhash64(slice(_th, i + 1, 10)) AS gh, "
                "i AS i))) ELSE array() END").alias('_g10s'))
@@ -372,7 +372,7 @@ def gopher_repetition_flags_rowwise(df, text_col='text',
     # per-position membership scan, no array_append accumulator
     dup_starts = F.expr(
         "CASE WHEN size(_g10s) = 0 THEN CAST(array() AS ARRAY<INT>) "
-        "ELSE array_sort(transform(filter(sequence(1, size(_g10s)), "
+        "ELSE sort_array(transform(filter(sequence(1, size(_g10s)), "
         "j -> (j > 1 AND element_at(_g10s, j).gh = "
         "      element_at(_g10s, j - 1).gh) "
         "  OR (j < size(_g10s) AND element_at(_g10s, j).gh = "
@@ -470,7 +470,7 @@ def language_id(df, text_col='text'):
 def fingerprints(df, text_col='text'):
     """Document fingerprints: md5 content signature + a sorted-token-set
     signature (whitespace/case-insensitive near-exact dedup key)."""
-    toks = F.array_sort(F.array_distinct(tokens_col(F.col(text_col),
+    toks = F.sort_array(F.array_distinct(tokens_col(F.col(text_col),
                                                     lower=True)))
     return df.select(
         'doc_id',
@@ -559,7 +559,7 @@ def text_profile(df, text_col='text'):
         F.round(cjk_ratio, 6).alias('cjk_ratio'),
         pred.alias('pred_lang'),
         F.md5(text).alias('content_sig'),
-        F.md5(F.array_join(F.array_sort('_dt'), ' ')).alias('tokenset_sig'),
+        F.md5(F.array_join(F.sort_array('_dt'), ' ')).alias('tokenset_sig'),
     )
 
 

@@ -445,6 +445,44 @@ def synthesize_extract_gold(spark, sf_dir, amplification=1, model=None,
                             num_partitions)
 
 
+def synthesize_extract_gold_counts(spark, sf_dir, amplification=1,
+                                   model=None, num_partitions=None):
+    """Synthesis + extraction + token-F1 COUNT columns in one python
+    stage: ``(doc_id, _tp, _np, _na)`` -- the distinct-token
+    intersection/size counts of ``metrics.token_f1_per_doc``, computed
+    with python set ops right where content and gold are born.  The
+    JVM twin re-tokenized both 2 KB texts per doc with regex split +
+    array_distinct + array_intersect (~4.3 s of a 9.6 s query at 50 k
+    docs); the tokenizer here is the same ASCII class
+    (``metrics.TOKEN_PATTERN``), on which Java and Python regex agree
+    codepoint-for-codepoint, and the emitted counts are exact ints, so
+    the downstream ratio arithmetic is bit-identical."""
+    from ..model import default_model
+    from ..operators.extract import process_document
+    from ..operators.metrics import TOKEN_PATTERN
+
+    model = model or default_model()
+    tok_re = re.compile(TOKEN_PATTERN)
+    schema = pa.schema([('doc_id', pa.string()), ('_tp', pa.int32()),
+                        ('_np', pa.int32()), ('_na', pa.int32())])
+
+    def per_doc(sid, span_dicts, gold_c, gold_m):
+        try:
+            _, content, _ = process_document(span_dicts, model)
+        except Exception:
+            content = ''
+        p = set(tok_re.split(content))
+        p.discard('')
+        a = set(tok_re.split(gold_c))
+        a.discard('')
+        return [{'doc_id': sid, '_tp': len(p & a), '_np': len(p),
+                 '_na': len(a)}]
+
+    return synthesize_fused(spark, sf_dir, per_doc, schema,
+                            'doc_id string, _tp int, _np int, _na int',
+                            amplification, num_partitions)
+
+
 def synthesize_corpus(spark, sf_dir, amplification=1, include_edge_docs=True,
                       num_partitions=None, chrome_by_host=False):
     """Distributed corpus synthesis: returns (spans_df, gold_df).
