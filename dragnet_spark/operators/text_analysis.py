@@ -13,6 +13,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 TOKEN_PATTERN = '[^a-zA-Z0-9]+'
+_ALNUM_SPACE = ('abcdefghijklmnopqrstuvwxyz'
+                'ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 ')
 CJK_PATTERN = '[\\x{4e00}-\\x{9fff}]'
 
 STOPWORDS = {
@@ -69,7 +71,12 @@ def quality_scores(df, text_col='text'):
     """
     text = F.col(text_col)
     n_chars = F.length(text)
-    alnum_sp = F.length(F.regexp_replace(text, '[^a-zA-Z0-9 ]', ''))
+    # r06: count non-alnum chars via translate (one table lookup per
+    # char) instead of materializing a regex-stripped copy of the
+    # text; alnum_sp = n_chars - len(text minus [a-zA-Z0-9 ]) is the
+    # same integer, so the oracle's regexp form hashes identically.
+    alnum_sp = (F.length(text)
+                - F.length(F.translate(text, _ALNUM_SPACE, '')))
     toks = tokens_col(text, lower=True)
     n_tokens = F.size(toks)
     stop_hits = F.size(F.array_intersect(
@@ -442,8 +449,12 @@ def language_id(df, text_col='text'):
             toks, F.array(*[F.lit(w) for w in words])))
         for lang, words in STOPWORDS.items()
     }
-    cjk = F.length(F.regexp_replace(text, CJK_PATTERN, ''))
-    cjk_ratio = ((F.length(text) - cjk).cast('double')
+    # r06: count the CJK chars (each match is exactly one char) instead
+    # of materializing a CJK-stripped copy of the text -- on the ASCII-
+    # dominant corpus regexp_count allocates nothing, regexp_replace
+    # copied every document; same integer, oracle hashes unchanged.
+    n_cjk = F.regexp_count(text, F.lit(CJK_PATTERN))
+    cjk_ratio = (n_cjk.cast('double')
                  / F.greatest(F.length(text), F.lit(1)).cast('double'))
     base = (df.select(
         'doc_id',
@@ -518,8 +529,8 @@ def text_profile(df, text_col='text'):
             '_dt', F.array(*[F.lit(w) for w in words])))
         for lang, words in STOPWORDS.items()
     }
-    cjk = F.length(F.regexp_replace(text, CJK_PATTERN, ''))
-    cjk_ratio = ((n_chars - cjk).cast('double')
+    n_cjk = F.regexp_count(text, F.lit(CJK_PATTERN))  # see language_id
+    cjk_ratio = (n_cjk.cast('double')
                  / F.greatest(n_chars, F.lit(1)).cast('double'))
     b3 = (b2.select(
         'doc_id', '_text', '_toks', '_toksl', '_dt',
@@ -536,7 +547,12 @@ def text_profile(df, text_col='text'):
               'de')
         .when(h['fr'] >= h['es'], 'fr')
         .otherwise('es'))
-    alnum_sp = F.length(F.regexp_replace(text, '[^a-zA-Z0-9 ]', ''))
+    # r06: count non-alnum chars via translate (one table lookup per
+    # char) instead of materializing a regex-stripped copy of the
+    # text; alnum_sp = n_chars - len(text minus [a-zA-Z0-9 ]) is the
+    # same integer, so the oracle's regexp form hashes identically.
+    alnum_sp = (F.length(text)
+                - F.length(F.translate(text, _ALNUM_SPACE, '')))
     n_tokens_l = F.size('_toksl')
     mean_tok = (n_chars.cast('double')
                 / F.greatest(n_tokens_l, F.lit(1)).cast('double'))
