@@ -29,12 +29,26 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 import pyspark.sql.functions as F  # noqa: E402
 
 
-def _docs(spark, sf_dir):
-    return spark.read.parquet(f'{sf_dir}/documents.parquet')
+def _read_spread(spark, path):
+    # r06: single-row-group bench inputs serialize every downstream
+    # narrow stage onto one task; spread them once, leave well-split
+    # inputs untouched (plans/partitioning.spread_small_scan)
+    from dragnet_spark.plans.partitioning import spread_small_scan
+    return spread_small_scan(spark, spark.read.parquet(path), path)
+
+
+def _docs(spark, sf_dir, spread=True):
+    # spread=False for consumers whose pre-shuffle work is trivial
+    # (md5-only aggregation, hash-bucket filters): there the guard's
+    # shuffle is pure cost (spread_small_scan docstring)
+    path = f'{sf_dir}/documents.parquet'
+    if not spread:
+        return spark.read.parquet(path)
+    return _read_spread(spark, path)
 
 
 def _emb(spark, sf_dir):
-    return spark.read.parquet(f'{sf_dir}/embeddings.parquet')
+    return _read_spread(spark, f'{sf_dir}/embeddings.parquet')
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -364,7 +378,8 @@ def q_fingerprints(spark, sf_dir):
 
 def q_dedup_exact(spark, sf_dir):
     from dragnet_spark.operators.dedup import exact_duplicates
-    return exact_duplicates(_docs(spark, sf_dir))
+    # md5-only aggregation: the spread guard's shuffle is pure cost here
+    return exact_duplicates(_docs(spark, sf_dir, spread=False))
 
 
 def q_jaccard_pairs(spark, sf_dir):
@@ -981,7 +996,7 @@ def q_sample_deterministic(spark, sf_dir):
     comparison, identical membership on every engine/run/partitioning
     (unlike sample()); one narrow filter, no shuffle."""
     from dragnet_spark.operators.text_analysis import deterministic_sample
-    return (deterministic_sample(_docs(spark, sf_dir), 0.1)
+    return (deterministic_sample(_docs(spark, sf_dir, spread=False), 0.1)
             .select('doc_id', 'lang'))
 
 
@@ -990,7 +1005,7 @@ def q_sample_stratified(spark, sf_dir):
     keep the tail): en 50%, de 25%, zh 10%; same md5-prefix rule per
     stratum, shuffle-free."""
     from dragnet_spark.operators.text_analysis import stratified_sample
-    return (stratified_sample(_docs(spark, sf_dir),
+    return (stratified_sample(_docs(spark, sf_dir, spread=False),
                               {'en': 0.5, 'de': 0.25, 'zh': 0.1})
             .select('doc_id', 'lang'))
 

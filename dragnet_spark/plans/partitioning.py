@@ -42,6 +42,78 @@ def salt_by_host(df, num_partitions, salts=DEFAULT_SALTS,
     return out.drop('_salt')
 
 
+def achievable_scan_tasks(path):
+    """Upper bound on the scan parallelism a local parquet input can
+    expose: the ROW GROUP is the atomic split unit (a byte-range split
+    never divides one), so a file with a single row group is read by a
+    single task no matter how small ``maxPartitionBytes`` is.
+
+    Returns the total row-group count across the input's part files,
+    ``len(files)`` as a cheap lower bound when there are already plenty
+    of files, or ``None`` when the layout cannot be probed (non-local
+    path, unreadable footer) -- callers must then leave the scan alone.
+    Footer-only reads; no data pages are touched.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+    try:
+        if os.path.isfile(path):
+            files = [path]
+        elif os.path.isdir(path):
+            files = [os.path.join(path, f) for f in os.listdir(path)
+                     if f.endswith('.parquet')]
+            if len(files) >= 64:
+                # >= one file per core on any plausible local session;
+                # skip the per-footer probe
+                return len(files)
+        else:
+            return None
+        return sum(pq.ParquetFile(f).metadata.num_row_groups
+                   for f in files)
+    except Exception:
+        return None
+
+
+def spread_small_scan(spark, df, path, factor=1):
+    """Adaptive scan-parallelism guard (optimization guide §2.1/§6).
+
+    A parquet input exposing fewer row groups than the session has
+    cores cannot parallelize its scan, and -- worse -- every NARROW
+    stage downstream of that scan (tokenize-heavy projections,
+    map-side partial aggregations, explode+hash pipelines) inherits the
+    same task count: one hot core, 31 idle.  The r06 audit measured the
+    single-projection corpus queries 6-10x slower on a one-row-group
+    50 k-doc file than on the same rows split across ten files.
+
+    When the achievable scan parallelism (row-group count) is below the
+    session's core count, spread the rows with ONE round-robin shuffle;
+    its cost is the table's bytes, which in this regime are by
+    definition at most a few row groups.  Inputs that already expose
+    enough splits are returned untouched, so at production scale
+    (thousands of row groups / files) this helper never shuffles and
+    the scan's own splitting governs -- the scale-adaptive seam the
+    guide requires instead of a constant tuned to either local mode or
+    the cluster.
+
+    ``factor=1`` (cores partitions) measured best across all three
+    downstream shapes at the 50 k-doc corpus: Arrow python stages pay
+    ~6 ms per TASK of worker handshake (text_profile 0.83 s at 32p vs
+    1.60 s at 128p), JVM HOF chains are flat (gopher repetition 1.07 vs
+    1.13), and aggregation-only consumers lose to the extra shuffle
+    blocks at higher counts (exact dedup 0.94 vs 2.0).  Rows are
+    near-uniform in size, so the straggler argument for over-splitting
+    does not apply; callers whose pre-shuffle work is trivial
+    (md5-only aggregations, hash-bucket sample filters) should skip the
+    guard entirely -- the shuffle is pure cost there.
+    """
+    par = spark.sparkContext.defaultParallelism
+    tasks = achievable_scan_tasks(path)
+    if tasks is None or tasks >= par:
+        return df
+    return df.repartition(factor * par)
+
+
 def repartition_by_doc_range(df, num_partitions, doc_id_col='doc_id'):
     """Range-repartition on doc_id: gives each output partition a
     contiguous doc_id range -- the unit of checkpoint/resume lineage
