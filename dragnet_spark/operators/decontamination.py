@@ -10,10 +10,9 @@ because published pipelines vary (8..13).
 
 Scale shape: the benchmark side is SMALL (test sets are thousands of
 documents), so its distinct gram-signature set broadcasts; the corpus
-side never shuffles -- each doc's grams are built in one codegen
-projection behind a collapse barrier (tokenize once per doc, not per
-gram -- the ``duplicated_passages`` lesson), exploded, and
-broadcast-joined.  Per-doc aggregation shuffles only (doc_id, 2 longs).
+side never shuffles -- each doc's grams are built in one Arrow python
+stage (tokenize once per doc; r06: off the JVM regex engine, see
+``text_analysis._counts_stage``) and broadcast-joined.  Per-doc aggregation shuffles only (doc_id, 2 longs).
 At 10^12 docs this is a map-side join + one thin doc_id-keyed agg.
 Signatures are md5 of the gram text so the DuckDB oracle
 (``decontamination`` in ``__spark_entry__``) reproduces them exactly.
@@ -27,26 +26,52 @@ DECON_NGRAM = 13
 
 
 def _gram_rows(df, text_col, id_col, n, out_id):
-    """(out_id, gram_sig) rows: md5-signed token n-grams, tokenized
-    ONCE per row behind the shared collapse barrier.
+    """(out_id, gram_sig) rows: md5-signed token n-grams.
 
-    The md5 runs INSIDE the n-gram transform lambda, so the explode
-    emits signatures directly as a bound attribute.  The r05 form
-    exploded gram strings and md5'd them in a Project above the
-    Generate; the inner join on ``gram_sig`` then inferred
-    ``isnotnull(md5(...))`` and pushed it below that Project, computing
-    every md5 TWICE (same conditional-duplication hole as the minhash
-    ``InferFiltersFromGenerate`` fix, guide §4.4 analogue)."""
-    from .text_analysis import tokens_barrier
-    tk = tokens_barrier(df, text_col=text_col, id_col=id_col,
-                        out_id=out_id)
-    sigs = F.when(
-        F.size('_toks') >= n,
-        F.expr("transform(sequence(0, size(_toks) - {n}), "
-               "i -> md5(cast(array_join(slice(_toks, i + 1, {n}), ' ') "
-               "as binary)))".format(n=n))
-    ).otherwise(F.array())
-    return tk.select(out_id, F.explode(sigs).alias('gram_sig'))
+    r06 (2nd pass): tokenize + n-gram + md5 run in ONE Arrow python
+    stage (the same shape and rationale as ``passage_sig_rows`` -- the
+    JVM regex engine on the measurement hardware is ~30x slower than
+    CPython's and hard-ceilinged per JVM across threads, see
+    text_analysis._counts_stage).  ``gram_sig`` is the BINARY 16-byte
+    md5 -- hashlib over the same joined UTF-8 bytes is byte-identical
+    to the old ``md5(cast(... as binary))`` hex form modulo the hex
+    encoding, and the sig never reaches any output: both join sides
+    use this helper, so the join semantics are unchanged while the
+    broadcast ships half the bytes (VERDICT r05 #4's size concern).
+    Only (id, 16-byte sig) rows cross the boundary."""
+    import pyarrow as pa
+
+    from .text_analysis import TOKEN_PATTERN
+
+    src = df.select(F.col(id_col).alias(out_id),
+                    F.col(text_col).alias('_text'))
+    id_ddl = src.schema[out_id].dataType.simpleString()
+
+    def gen(batches):
+        import hashlib
+        import re
+        tok_split = re.compile(TOKEN_PATTERN).split
+        md5 = hashlib.md5
+        for rb in batches:
+            ids = rb.column(0).to_pylist()
+            texts = rb.column(1).to_pylist()
+            out_ids, out_sigs = [], []
+            for did, t in zip(ids, texts):
+                if t is None:
+                    continue
+                toks = [x for x in tok_split(t) if x]
+                if len(toks) < n:
+                    continue
+                for i in range(len(toks) - n + 1):
+                    out_ids.append(did)
+                    out_sigs.append(md5(
+                        ' '.join(toks[i:i + n]).encode('utf-8')).digest())
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, type=rb.column(0).type),
+                 pa.array(out_sigs, type=pa.binary())],
+                names=[out_id, 'gram_sig'])
+
+    return src.mapInArrow(gen, '%s %s, gram_sig binary' % (out_id, id_ddl))
 
 
 def benchmark_ngrams(bench_df, text_col='text', id_col='doc_id',

@@ -193,13 +193,70 @@ def shingles_col(toks):
             .otherwise(F.array().cast('array<string>')))
 
 
+def _py_shingles(toks):
+    """Python twin of ``shingles_col`` + ``array_distinct`` (first-
+    occurrence order): full 3-token ' '-joined windows, 1-2 token docs
+    shingle as their joined text, token-less docs get the empty set."""
+    if len(toks) >= 3:
+        it = (' '.join(toks[i:i + 3]) for i in range(len(toks) - 2))
+    elif toks:
+        it = (' '.join(toks),)
+    else:
+        return []
+    return list(dict.fromkeys(it))
+
+
+def _shingle_stage(df, text_col, exploded):
+    """Tokenize + shingle in ONE Arrow python stage (r06 2nd pass: the
+    JVM regex engine on the measurement hardware is ~30x slower than
+    CPython's and thread-ceilinged per JVM -- text_analysis._counts_stage
+    note).  ``exploded=True`` yields (doc_id, sh) rows (the signature
+    shape), ``False`` yields (doc_id, shingles array) (the verify
+    shape).  Shingle STRINGS are identical to the zip_with/concat_ws
+    form, so every xxhash64 lane, LSH bucket and verified pair
+    downstream is value-identical."""
+    import pyarrow as pa
+
+    from .text_analysis import TOKEN_PATTERN
+
+    src = df.select(F.col('doc_id'), F.col(text_col).alias('_text'))
+    id_ddl = src.schema['doc_id'].dataType.simpleString()
+    out_ddl = ('doc_id %s, sh string' % id_ddl if exploded
+               else 'doc_id %s, shingles array<string>' % id_ddl)
+
+    def gen(batches):
+        import re
+        tok_split = re.compile(TOKEN_PATTERN).split
+        for rb in batches:
+            ids = rb.column(0).to_pylist()
+            texts = rb.column(1).to_pylist()
+            if exploded:
+                out_ids, out_sh = [], []
+                for did, t in zip(ids, texts):
+                    for s in _py_shingles(
+                            [x for x in tok_split((t or '').lower()) if x]):
+                        out_ids.append(did)
+                        out_sh.append(s)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(out_ids, type=rb.column(0).type),
+                     pa.array(out_sh, type=pa.string())],
+                    names=['doc_id', 'sh'])
+            else:
+                shs = [_py_shingles(
+                    [x for x in tok_split((t or '').lower()) if x])
+                    for t in texts]
+                yield pa.RecordBatch.from_arrays(
+                    [rb.column(0),
+                     pa.array(shs, type=pa.list_(pa.string()))],
+                    names=['doc_id', 'shingles'])
+
+    return src.mapInArrow(gen, out_ddl)
+
+
 def shingle_df(df, text_col='text'):
-    """(doc_id, shingles): tokens materialized first so the shingle
-    expression operates on a column, not a re-evaluated subexpression."""
-    t = df.select('doc_id',
-                  tokens_col(F.lower(F.col(text_col))).alias('_toks'))
-    return t.select('doc_id',
-                    F.array_distinct(shingles_col('_toks')).alias('shingles'))
+    """(doc_id, shingles): the verify-side shingle arrays (Arrow python
+    stage -- see ``_shingle_stage``)."""
+    return _shingle_stage(df, text_col, exploded=False)
 
 
 def minhash_signatures(df, text_col='text', k=MINHASH_K):
@@ -211,22 +268,15 @@ def minhash_signatures(df, text_col='text', k=MINHASH_K):
     doc per input partition.  (The nested array_min(transform(...))xK
     formulation generates pathological whole-stage code.)
 
-    The explode input is the shingle EXPRESSION inline, not the
-    materialized ``shingle_df`` column: exploding a bare attribute lets
-    ``InferFiltersFromGenerate`` add a ``size(shingles) > 0`` filter
-    that predicate pushdown then alias-substitutes all the way into the
-    parquet scan, where it re-tokenizes every document ~8x before the
-    projection runs (r06 plan audit: the scan Filter carried 16
-    ``split()`` occurrences; this query was 20.5 s at sf1.0 with it,
-    8.1 s without).  With an expensive non-attribute generator child
-    the rule skips the inference, and empty shingle arrays are dropped
-    by the explode itself at no extra cost.
+    r06 (2nd pass): the exploded (doc_id, sh) rows come from the Arrow
+    shingle stage (``_shingle_stage`` -- identical shingle strings, off
+    the ceilinged JVM regex engine; the python stage also closes the
+    earlier ``InferFiltersFromGenerate`` re-tokenization hole for good,
+    since no expression exists to push into the scan).  The k xxhash64
+    lanes and the min-aggregation stay in the JVM, so every signature
+    VALUE is unchanged.
     """
-    t = df.select('doc_id',
-                  tokens_col(F.lower(F.col(text_col))).alias('_toks'))
-    sh = t.select('doc_id',
-                  F.explode(F.array_distinct(shingles_col('_toks')))
-                  .alias('sh'))
+    sh = _shingle_stage(df, text_col, exploded=True)
     hashed = sh.select(
         'doc_id', *[F.xxhash64('sh', F.lit(i)).alias('h%d' % i)
                     for i in range(k)])
@@ -611,27 +661,62 @@ def duplicated_passages(df, text_col='text', id_col='doc_id',
 
 def passage_sig_rows(df, text_col='text', id_col='doc_id',
                      n=PASSAGE_NGRAM, keep_passage=False):
-    """``(_id, _sig[, passage])`` exploded passage rows, tokenized ONCE
-    per document behind the collapse barrier (see
-    :func:`duplicated_passages`).
+    """``(_id, _sig[, passage])`` exploded passage rows.
 
-    ``_sig`` is the BINARY 16-byte md5 (``unhex(md5(...))``) -- half
-    the shuffle bytes of the 32-char hex form; callers hex it back at
-    the output edge (r06, guide §2.3 "narrower types").
+    ``_sig`` is the BINARY 16-byte md5 (half the shuffle bytes of the
+    32-char hex form; callers hex it back at the output edge -- r06,
+    guide §2.3 "narrower types").
+
+    r06 (2nd pass): tokenize + n-gram + md5 run in ONE Arrow python
+    stage.  The JVM regex engine on the measurement hardware is both
+    ~30x slower than CPython's per split and hard-ceilinged per JVM
+    across threads (text_analysis._counts_stage note); hashlib md5
+    over the same ``' '``-joined UTF-8 gram bytes is byte-identical to
+    ``unhex(md5(cast(... as binary)))``, and the python tokenizer is
+    the same ASCII class the JVM form used (test-pinned agreement).
+    Only (id, 16-byte sig) rows cross the boundary.
     """
-    from .text_analysis import tokens_barrier
-    tk = tokens_barrier(df, text_col=text_col, id_col=id_col)
-    grams = F.when(
-        F.size('_toks') >= n,
-        F.expr("transform(sequence(0, size(_toks) - {n}), "
-               "i -> array_join(slice(_toks, i + 1, {n}), ' '))"
-               .format(n=n))
-    ).otherwise(F.array())
-    ex = tk.select('_id', F.explode(grams).alias('passage'))
-    sig = F.unhex(F.md5(F.col('passage').cast('binary'))).alias('_sig')
+    import pyarrow as pa
+
+    from .text_analysis import TOKEN_PATTERN
+
+    src = df.select(F.col(id_col).alias('_id'),
+                    F.col(text_col).alias('_text'))
+    id_ddl = src.schema['_id'].dataType.simpleString()
+    out_ddl = '_id %s, _sig binary' % id_ddl
     if keep_passage:
-        return ex.select('_id', sig, 'passage')
-    return ex.select('_id', sig)
+        out_ddl += ', passage string'
+
+    def gen(batches):
+        import hashlib
+        import re
+        tok_split = re.compile(TOKEN_PATTERN).split
+        md5 = hashlib.md5
+        for rb in batches:
+            ids = rb.column(0).to_pylist()
+            texts = rb.column(1).to_pylist()
+            out_ids, out_sigs, out_ps = [], [], []
+            for did, t in zip(ids, texts):
+                if t is None:
+                    continue
+                toks = [x for x in tok_split(t) if x]
+                if len(toks) < n:
+                    continue
+                for i in range(len(toks) - n + 1):
+                    p = ' '.join(toks[i:i + n])
+                    out_ids.append(did)
+                    out_sigs.append(md5(p.encode('utf-8')).digest())
+                    if keep_passage:
+                        out_ps.append(p)
+            arrays = [pa.array(out_ids, type=rb.column(0).type),
+                      pa.array(out_sigs, type=pa.binary())]
+            names = ['_id', '_sig']
+            if keep_passage:
+                arrays.append(pa.array(out_ps, type=pa.string()))
+                names.append('passage')
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return src.mapInArrow(gen, out_ddl)
 
 
 def duplicated_passage_stats(rows, min_docs=2, keep_example=False):

@@ -1,11 +1,20 @@
 """Text-analysis operators for large-scale training-data pipelines.
 
-All JVM-side (built-in ``pyspark.sql.functions`` only -- no Python in the
-hot path): token counting, quality scoring, n-gram-heuristic language ID,
+Token counting, quality scoring, n-gram-heuristic language ID,
 rolling-hash document fingerprinting.  Each has a DuckDB oracle in
 ``__spark_entry__.py``; regex patterns are restricted to dialect-safe
-ASCII / explicit-codepoint classes (Java vs RE2 ``\\W`` unicode semantics
-differ).
+ASCII / explicit-codepoint classes (Java vs RE2 vs python ``\\W``
+unicode semantics differ).
+
+r06: the per-document COUNTING moved from JVM expressions into one
+Arrow python stage per operator (``_counts_stage``) after a pure-JVM
+microbenchmark showed java.util.regex on the measurement hardware is
+~30x slower than CPython's engine per split AND hard-ceilinged per JVM
+across threads; every ratio / CASE / rounding stays in the JVM over the
+same integers, so outputs (and the frozen DuckDB oracles) are
+bit-identical.  The repetition gates remain all-JVM -- their
+interpreted HOF chains interleave with the split, the ceiling binds
+only partially there, and the python form A/B-measured slower.
 """
 
 from __future__ import annotations
@@ -52,13 +61,18 @@ def tokens_barrier(df, text_col='text', id_col='doc_id', out_id='_id',
 
 
 def token_counts(df, text_col='text'):
-    """Whitespace/punct token counts + distinct counts per document."""
-    toks = tokens_col(F.col(text_col))
-    return df.select(
+    """Whitespace/punct token counts + distinct counts per document.
+
+    r06: counts come from the Arrow counts stage (see
+    :func:`_counts_stage` -- the JVM regex engine is both slow and
+    thread-ceilinged on the measurement hardware); same integers, same
+    output schema."""
+    c = _counts_stage(df, text_col, raw=True)
+    return c.select(
         'doc_id',
-        F.size(toks).cast('long').alias('n_tokens'),
-        F.size(F.array_distinct(toks)).cast('long').alias('n_distinct_tokens'),
-        F.length(text_col).cast('long').alias('n_chars_text'),
+        F.col('_n_tokens').alias('n_tokens'),
+        F.col('_n_distinct').alias('n_distinct_tokens'),
+        F.col('_n_chars').alias('n_chars_text'),
     )
 
 
@@ -69,22 +83,18 @@ def quality_scores(df, text_col='text'):
     expressions; ratios are per-row int/int divisions so the DuckDB
     oracle reproduces them bit-exactly.
     """
-    text = F.col(text_col)
-    n_chars = F.length(text)
-    # r06: count non-alnum chars via translate (one table lookup per
-    # char) instead of materializing a regex-stripped copy of the
-    # text; alnum_sp = n_chars - len(text minus [a-zA-Z0-9 ]) is the
-    # same integer, so the oracle's regexp form hashes identically.
-    alnum_sp = (F.length(text)
-                - F.length(F.translate(text, _ALNUM_SPACE, '')))
-    toks = tokens_col(text, lower=True)
-    n_tokens = F.size(toks)
-    stop_hits = F.size(F.array_intersect(
-        F.array_distinct(toks),
-        F.array(*[F.lit(w) for w in STOPWORDS['en']])))
+    # r06: the counts come from the Arrow stage (JVM regex ceiling, see
+    # _counts_stage); the ratio arithmetic below is the UNCHANGED
+    # expression tree over the same integers, so every double is
+    # bit-identical and the oracle hashes are untouched.
+    c = _counts_stage(df, text_col, lower=True, hits=True, alnum=True)
+    n_chars = F.col('_n_chars')
+    alnum_sp = F.col('_n_alnum_sp')
+    n_tokens = F.col('_n_tokens_lower')
+    stop_hits = F.col('_h_en')
     mean_tok = (n_chars.cast('double')
                 / F.greatest(n_tokens, F.lit(1)).cast('double'))
-    return df.select(
+    return c.select(
         'doc_id',
         n_chars.cast('long').alias('n_chars_text'),
         n_tokens.cast('long').alias('n_tokens'),
@@ -120,40 +130,30 @@ def gopher_quality_flags(df, text_col='text', keep_cols=()):
     punctuation-split ``tokens_col`` the other analyzers use.  Every
     ratio is an int/int division, so the DuckDB oracle reproduces the
     doubles bit-exactly; ``passes`` is the conjunction, computed
-    identically both sides.  At 10^12 docs this is one narrow
-    whole-stage-codegen projection -- no shuffle, no Python.
+    identically both sides.  At 10^12 docs this is one narrow Arrow
+    stage plus one projection -- no shuffle, no join.
     """
-    # Generate collapse barrier (see gopher_repetition_flags): without
-    # it the whitespace-split expression inlines into every lambda and
-    # aggregate below (17 split() occurrences in the optimized plan).
-    # ``keep_cols`` ride through so callers get flags + payload in ONE
-    # projection instead of a corpus-wide re-join (the gate is a pure
-    # narrow op; forcing a join to recover the text would shuffle).
-    df = (df.select('doc_id', F.col(text_col).alias('_text'),
-                    *[F.col(c) for c in keep_cols],
-                    F.array_remove(F.split(F.trim(text_col), '\\s+'), '')
-                    .alias('_words'),
-                    F.explode(F.array(F.lit(1))).alias('_b'))
-          .drop('_b'))
-    text = F.col('_text')
-    words = F.col('_words')
-    n_words = F.size(words)
-    sum_word_len = F.aggregate(
-        F.transform(words, F.length), F.lit(0), lambda a, x: a + x)
+    # r06 (2nd pass): the word-split counts come from the Arrow counts
+    # stage (JVM regex ceiling, see _counts_stage; the python \s+ is
+    # pinned to Java's ASCII dialect with re.ASCII); the ratio
+    # arithmetic below is the unchanged expression tree over the same
+    # integers, so the gate doubles and oracle hashes are bit-identical.
+    # ``keep_cols`` ride through the Arrow batch so callers get flags +
+    # payload without a corpus-wide re-join, and the python stage is a
+    # natural pushdown barrier (the old explode-barrier role).
+    df = _counts_stage(df, text_col, words=True, keep_cols=keep_cols)
+    n_words = F.col('_n_words')
+    sum_word_len = F.col('_sum_word_len')
     mean_word_len = (sum_word_len.cast('double')
                      / F.greatest(n_words, F.lit(1)).cast('double'))
-    n_hash = F.length(text) - F.length(F.replace(text, F.lit('#')))
-    n_ellipsis = (F.length(text)
-                  - F.length(F.replace(text, F.lit('...')))) / 3
+    n_hash = F.col('_n_hash')
+    n_ellipsis = F.col('_ell_lendiff') / 3
     symbol_ratio = ((n_hash + n_ellipsis).cast('double')
                     / F.greatest(n_words, F.lit(1)).cast('double'))
-    alpha_words = F.size(F.filter(
-        words, lambda w: w.rlike('[A-Za-z]')))
+    alpha_words = F.col('_alpha_words')
     alpha_frac = (alpha_words.cast('double')
                   / F.greatest(n_words, F.lit(1)).cast('double'))
-    lower_words = F.array_distinct(F.transform(words, F.lower))
-    stop_hits = F.size(F.array_intersect(
-        lower_words, F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])))
+    stop_hits = F.col('_stop_hits')
     passes = ((n_words >= GOPHER_MIN_WORDS)
               & (n_words <= GOPHER_MAX_WORDS)
               & (mean_word_len >= GOPHER_MIN_MEAN_WORD_LEN)
@@ -322,6 +322,12 @@ def gopher_repetition_flags_rowwise(df, text_col='text',
     form remains exported as the cross-check twin (bit-equality
     asserted in tests).
     """
+    # (r06 2nd pass: an Arrow python tokenizer stage was A/B-measured
+    # here and REVERTED -- 1.15 s vs 1.25-1.45 s at the 50 k corpus.
+    # Unlike the pure-counting operators, this gate's interpreted HOF
+    # chain interleaves with the split so the JVM regex ceiling binds
+    # only partially, and shipping list<string> token arrays across
+    # Arrow costs more than the split saves.)
     raw = "array_remove(split(lower(%s), '[^a-z0-9]+'), '')" % text_col
     keep = [F.col(c) for c in keep_cols]
     tk = (df.select('doc_id', *keep, F.expr(raw).alias('_tk'),
@@ -442,27 +448,13 @@ def language_id(df, text_col='text'):
     codegen subexpression elimination, so the inline form re-ran the
     tokenize+distinct+intersect chain once per branch).
     """
-    text = F.col(text_col)
-    toks = F.array_distinct(tokens_col(text, lower=True))
-    hits = {
-        lang: F.size(F.array_intersect(
-            toks, F.array(*[F.lit(w) for w in words])))
-        for lang, words in STOPWORDS.items()
-    }
-    # r06: count the CJK chars (each match is exactly one char) instead
-    # of materializing a CJK-stripped copy of the text -- on the ASCII-
-    # dominant corpus regexp_count allocates nothing, regexp_replace
-    # copied every document; same integer, oracle hashes unchanged.
-    n_cjk = F.regexp_count(text, F.lit(CJK_PATTERN))
-    cjk_ratio = (n_cjk.cast('double')
-                 / F.greatest(F.length(text), F.lit(1)).cast('double'))
-    base = (df.select(
-        'doc_id',
-        *[hits[lang].alias('_h_' + lang) for lang in STOPWORDS],
-        cjk_ratio.alias('_cjkr'),
-        F.explode(F.array(F.lit(1))).alias('_b')).drop('_b'))
+    # r06: hit/CJK counts from the Arrow stage (JVM regex ceiling, see
+    # _counts_stage); ratio + CASE arithmetic unchanged over the same
+    # integers, so the oracle hashes are untouched.
+    base = _counts_stage(df, text_col, hits=True, cjk=True)
     h = {lang: F.col('_h_' + lang) for lang in STOPWORDS}
-    cjk_ratio = F.col('_cjkr')
+    cjk_ratio = (F.col('_n_cjk').cast('double')
+                 / F.greatest(F.col('_n_chars'), F.lit(1)).cast('double'))
     pred = (
         F.when(cjk_ratio > 0.2, 'zh')
         .when((h['en'] >= h['de']) & (h['en'] >= h['fr'])
@@ -480,13 +472,16 @@ def language_id(df, text_col='text'):
 
 def fingerprints(df, text_col='text'):
     """Document fingerprints: md5 content signature + a sorted-token-set
-    signature (whitespace/case-insensitive near-exact dedup key)."""
-    toks = F.sort_array(F.array_distinct(tokens_col(F.col(text_col),
-                                                    lower=True)))
-    return df.select(
+    signature (whitespace/case-insensitive near-exact dedup key).
+
+    r06: both digests from the Arrow counts stage (hashlib md5 over the
+    same UTF-8 bytes; python ``sorted`` and Spark ``sort_array`` agree
+    because UTF-8 byte order is code-point order)."""
+    c = _counts_stage(df, text_col, sigs=True)
+    return c.select(
         'doc_id',
-        F.md5(F.col(text_col)).alias('content_sig'),
-        F.md5(F.array_join(toks, ' ')).alias('tokenset_sig'),
+        F.col('_content_sig').alias('content_sig'),
+        F.col('_tokenset_sig').alias('tokenset_sig'),
     )
 
 
@@ -501,44 +496,18 @@ def text_profile(df, text_col='text'):
     joins: at corpus scale the join form shuffles the corpus three
     times for what is a narrow per-row computation.
 
-    r06: the two tokenizers, the distinct token set and the per-language
-    stopword hits are materialized behind collapse barriers before the
-    ``pred_lang`` CASE chain -- expressions that appear only inside
-    conditional branches are excluded from codegen subexpression
-    elimination, so the single-Project form re-evaluated the de/fr/es
-    intersections (each over the full tokenize+distinct chain) once per
-    CASE branch (22 ``split()`` occurrences in the r05 optimized plan;
-    7.5 s -> 5.6 s at sf1.0 from staging).  Still one narrow
-    zero-shuffle codegen pipeline -- barriers are Generate nodes, not
-    exchanges.
+    r06 (2nd pass): every count comes from the Arrow counts stage
+    (JVM regex ceiling -- see ``_counts_stage``); the ratio / CASE /
+    rounding arithmetic below is the unchanged expression tree over
+    the same integers, so every double and the oracle hashes are
+    bit-identical.  One python stage, no shuffle, no join.
     """
-    text = F.col(text_col)
-    base = (df.select(
-        'doc_id', text.alias('_text'),
-        tokens_col(text).alias('_toks'),
-        tokens_col(text, lower=True).alias('_toksl'),
-        F.explode(F.array(F.lit(1))).alias('_b')).drop('_b'))
-    b2 = (base.select(
-        'doc_id', '_text', '_toks', '_toksl',
-        F.array_distinct('_toksl').alias('_dt'),
-        F.explode(F.array(F.lit(1))).alias('_b')).drop('_b'))
-    text = F.col('_text')
-    n_chars = F.length(text)
-    hits = {
-        lang: F.size(F.array_intersect(
-            '_dt', F.array(*[F.lit(w) for w in words])))
-        for lang, words in STOPWORDS.items()
-    }
-    n_cjk = F.regexp_count(text, F.lit(CJK_PATTERN))  # see language_id
-    cjk_ratio = (n_cjk.cast('double')
-                 / F.greatest(n_chars, F.lit(1)).cast('double'))
-    b3 = (b2.select(
-        'doc_id', '_text', '_toks', '_toksl', '_dt',
-        *[hits[lang].alias('_h_' + lang) for lang in STOPWORDS],
-        cjk_ratio.alias('_cjkr'),
-        F.explode(F.array(F.lit(1))).alias('_b')).drop('_b'))
+    b3 = _counts_stage(df, text_col, raw=True, lower=True, hits=True,
+                       cjk=True, alnum=True, sigs=True)
     h = {lang: F.col('_h_' + lang) for lang in STOPWORDS}
-    cjk_ratio = F.col('_cjkr')
+    n_chars = F.col('_n_chars')
+    cjk_ratio = (F.col('_n_cjk').cast('double')
+                 / F.greatest(n_chars, F.lit(1)).cast('double'))
     pred = (
         F.when(cjk_ratio > 0.2, 'zh')
         .when((h['en'] >= h['de']) & (h['en'] >= h['fr'])
@@ -547,22 +516,16 @@ def text_profile(df, text_col='text'):
               'de')
         .when(h['fr'] >= h['es'], 'fr')
         .otherwise('es'))
-    # r06: count non-alnum chars via translate (one table lookup per
-    # char) instead of materializing a regex-stripped copy of the
-    # text; alnum_sp = n_chars - len(text minus [a-zA-Z0-9 ]) is the
-    # same integer, so the oracle's regexp form hashes identically.
-    alnum_sp = (F.length(text)
-                - F.length(F.translate(text, _ALNUM_SPACE, '')))
-    n_tokens_l = F.size('_toksl')
+    alnum_sp = F.col('_n_alnum_sp')
+    n_tokens_l = F.col('_n_tokens_lower')
     mean_tok = (n_chars.cast('double')
                 / F.greatest(n_tokens_l, F.lit(1)).cast('double'))
     return b3.select(
         'doc_id',
-        F.size('_toks').cast('long').alias('n_tokens'),
-        F.size(F.array_distinct('_toks')).cast('long')
-        .alias('n_distinct_tokens'),
-        n_chars.cast('long').alias('n_chars_text'),
-        n_tokens_l.cast('long').alias('n_tokens_lower'),
+        F.col('_n_tokens').alias('n_tokens'),
+        F.col('_n_distinct').alias('n_distinct_tokens'),
+        n_chars.alias('n_chars_text'),
+        n_tokens_l.alias('n_tokens_lower'),
         ((n_chars - alnum_sp).cast('double')
          / F.greatest(n_chars, F.lit(1)).cast('double'))
         .alias('punct_ratio'),
@@ -574,8 +537,8 @@ def text_profile(df, text_col='text'):
           for lang in STOPWORDS],
         F.round(cjk_ratio, 6).alias('cjk_ratio'),
         pred.alias('pred_lang'),
-        F.md5(text).alias('content_sig'),
-        F.md5(F.array_join(F.sort_array('_dt'), ' ')).alias('tokenset_sig'),
+        F.col('_content_sig').alias('content_sig'),
+        F.col('_tokenset_sig').alias('tokenset_sig'),
     )
 
 
@@ -624,3 +587,139 @@ def stratified_sample(df, fracs, strata_col='lang', key_col='doc_id'):
                   & (bucket < F.lit(_frac_threshold(frac))))
         cond = branch if cond is None else (cond | branch)
     return df.where(cond if cond is not None else F.lit(False))
+
+
+# -- Arrow counts stage (r06: off the JVM regex engine) ---------------------
+#
+# java.util.regex on the measurement hardware is pathological: a pure-JVM
+# microbenchmark (32 threads, shared precompiled Pattern, OPTIMIZATION_r06
+# "JVM regex ceiling" section) measured ~28 us per 320-char split AND a
+# hard ~26k splits/s PER JVM ceiling that does not move with thread count
+# (1 thread = 36k/s, 32 threads = 26k/s TOTAL), while char loops,
+# allocation and megamorphic dispatch in the same harness scale 16-20x.
+# CPython's re engine does not share the pathology (110k splits/s single
+# process, 1.8M/s across 32 worker processes), and Spark python workers
+# are processes.  So for split-dominated per-document COUNTING, the
+# "eliminate the Python boundary" default (guide section 4) inverts here,
+# measured per guide section 1: one Arrow stage that ships only
+# (doc_id, text) in and small integers out beats any JVM expression
+# formulation by the ceiling ratio.  All ratio / CASE / rounding
+# arithmetic stays in the JVM on those integers, bit-identically to the
+# old expression trees (the same pattern as synthesize_extract_gold_counts,
+# whose python/JVM tokenizer agreement is already test-pinned).
+
+_PY_TOKEN_RE = None
+
+
+def _py_regexes():
+    global _PY_TOKEN_RE
+    if _PY_TOKEN_RE is None:
+        import re
+        _PY_TOKEN_RE = (
+            re.compile(TOKEN_PATTERN),
+            # Java \s is ASCII-only [ \t\n\x0B\f\r]; re.ASCII pins the
+            # python dialect to the same set
+            re.compile(r'\s+', re.ASCII),
+            re.compile('[一-鿿]'),
+            re.compile('[A-Za-z]'),
+        )
+    return _PY_TOKEN_RE
+
+
+def _counts_stage(df, text_col='text', raw=False, lower=False, hits=False,
+                  cjk=False, alnum=False, sigs=False, words=False,
+                  keep_cols=()):
+    """(doc_id, <keep_cols>, _n_chars, <requested count cols>) via ONE
+    mapInArrow stage; exactly one output row per input row, in order.
+
+    Null text propagates as null counts, so downstream JVM arithmetic
+    null-propagates exactly as the old all-JVM expression trees did.
+    """
+    import pyarrow as pa
+
+    fields = [('_n_chars', pa.int64())]
+    if raw:
+        fields += [('_n_tokens', pa.int64()), ('_n_distinct', pa.int64())]
+    if lower:
+        fields += [('_n_tokens_lower', pa.int64())]
+    if hits:
+        fields += [('_h_' + lang, pa.int64()) for lang in STOPWORDS]
+    if cjk:
+        fields += [('_n_cjk', pa.int64())]
+    if alnum:
+        fields += [('_n_alnum_sp', pa.int64())]
+    if sigs:
+        fields += [('_content_sig', pa.string()),
+                   ('_tokenset_sig', pa.string())]
+    if words:
+        fields += [('_n_words', pa.int64()), ('_sum_word_len', pa.int64()),
+                   ('_n_hash', pa.int64()), ('_ell_lendiff', pa.int64()),
+                   ('_alpha_words', pa.int64()), ('_stop_hits', pa.int64())]
+
+    in_fields = ['doc_id', *keep_cols, text_col]
+    src = df.select(*dict.fromkeys(in_fields))  # dedup, keep order
+    ddl_types = {f.name: f.dataType.simpleString() for f in src.schema}
+    pass_cols = ['doc_id', *[c for c in keep_cols if c != 'doc_id']]
+    out_ddl = ', '.join(
+        ['%s %s' % (c, ddl_types[c]) for c in pass_cols]
+        + ['%s %s' % (name, 'string' if typ == pa.string() else 'bigint')
+           for name, typ in fields])
+    stop_sets = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
+    gopher_stop = frozenset(GOPHER_STOPWORDS)
+    alnum_sp_set = frozenset(_ALNUM_SPACE)
+
+    def gen(batches):
+        import hashlib
+        tok_re, ws_re, cjk_re, alpha_re = _py_regexes()
+        tok_split = tok_re.split
+        ws_split = ws_re.split
+        for rb in batches:
+            cols = {name: rb.column(i)
+                    for i, name in enumerate(rb.schema.names)}
+            texts = cols[text_col].to_pylist()
+            out = {name: [] for name, _ in fields}
+            for t in texts:
+                if t is None:
+                    for name, _ in fields:
+                        out[name].append(None)
+                    continue
+                out['_n_chars'].append(len(t))
+                if raw:
+                    toks = [x for x in tok_split(t) if x]
+                    out['_n_tokens'].append(len(toks))
+                    out['_n_distinct'].append(len(set(toks)))
+                if lower or hits or sigs:
+                    toksl = [x for x in tok_split(t.lower()) if x]
+                    dt = set(toksl)
+                if lower:
+                    out['_n_tokens_lower'].append(len(toksl))
+                if hits:
+                    for lang in STOPWORDS:
+                        out['_h_' + lang].append(len(dt & stop_sets[lang]))
+                if cjk:
+                    out['_n_cjk'].append(len(cjk_re.findall(t)))
+                if alnum:
+                    out['_n_alnum_sp'].append(
+                        sum(1 for ch in t if ch in alnum_sp_set))
+                if sigs:
+                    out['_content_sig'].append(
+                        hashlib.md5(t.encode('utf-8')).hexdigest())
+                    out['_tokenset_sig'].append(hashlib.md5(
+                        ' '.join(sorted(dt)).encode('utf-8')).hexdigest())
+                if words:
+                    ws = [w for w in ws_split(t.strip(' ')) if w]
+                    out['_n_words'].append(len(ws))
+                    out['_sum_word_len'].append(sum(map(len, ws)))
+                    out['_n_hash'].append(t.count('#'))
+                    out['_ell_lendiff'].append(3 * t.count('...'))
+                    out['_alpha_words'].append(
+                        sum(1 for w in ws if alpha_re.search(w)))
+                    out['_stop_hits'].append(
+                        len({w.lower() for w in ws} & gopher_stop))
+            arrays = [cols[c] for c in pass_cols]
+            arrays += [pa.array(out[name], type=typ)
+                       for name, typ in fields]
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=pass_cols + [name for name, _ in fields])
+
+    return src.mapInArrow(gen, out_ddl)

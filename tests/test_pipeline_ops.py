@@ -560,9 +560,12 @@ class TestDuplicatedPassages:
         df = spark.read.parquet('/root/testdata/sf0.001/documents.parquet')
         plan = (duplicated_passages(df)._jdf.queryExecution()
                 .executedPlan().toString())
-        # exactly one aggregation exchange, no Python stage
+        # one sig-keyed exchange; the tokenize+gram+md5 projection is a
+        # single Arrow python stage (r06: off the JVM regex engine --
+        # see text_analysis._counts_stage), not a row-at-a-time UDF
         assert plan.count('Exchange hashpartitioning') <= 2  # partial+final
-        assert 'Python' not in plan and 'ArrowEval' not in plan
+        assert plan.count('MapInArrow') == 1, plan
+        assert 'BatchEvalPython' not in plan and 'ArrowEvalPython' not in plan
 
 
 @pytest.mark.spark
