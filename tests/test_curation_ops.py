@@ -229,6 +229,41 @@ class TestGateFunnel:
         assert row.n_both_pass <= min(q, r)
 
 
+class TestZipSafeArrowStages:
+    def test_counts_stage_runs_from_zip_shipped_package(self, tmp_path):
+        # spark-submit --py-files ships dragnet_spark as a ZIP; the r06
+        # Arrow counts stages pickle closures whose globals resolve by
+        # re-importing the module on the WORKER -- this pins that the
+        # zip-import path works end to end (the r05 model-loading bug
+        # was this class of failure)
+        import os
+        import shutil
+        import subprocess
+        import sys
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        zp = shutil.make_archive(str(tmp_path / 'pkg'), 'zip',
+                                 root_dir=repo, base_dir='dragnet_spark')
+        code = '''
+import sys
+sys.path.insert(0, "ZIPPATH")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master('local[2]').appName('zip-arrow-smoke')
+         .config('spark.ui.enabled', 'false').getOrCreate())
+spark.sparkContext.addPyFile("ZIPPATH")
+from dragnet_spark.operators.text_analysis import text_profile
+docs = spark.read.parquet(
+    '/root/testdata/sf0.001/documents.parquet').select('doc_id', 'text')
+print('ROWS', text_profile(docs).count())
+spark.stop()
+'''.replace('ZIPPATH', zp)
+        env = {**os.environ, 'PYTHONPATH': ''}
+        out = subprocess.run([sys.executable, '-c', code],
+                             capture_output=True, text=True, timeout=240,
+                             env=env)
+        assert out.returncode == 0, out.stderr[-1000:]
+        assert 'ROWS 500' in out.stdout, out.stdout[-500:]
+
+
 class TestZipSafeModelLoading:
     def test_default_model_loads_from_inside_a_zip(self, tmp_path):
         # spark-submit --py-files ships the package as a ZIP, where
