@@ -124,6 +124,10 @@ def spread_small_scan(spark, df, path, factor=1):
     tasks, rows = probe
     if tasks >= par:
         return df
+    if rows is None:
+        # many-file input whose footers we skipped: size unknown, so a
+        # blind shuffle could move arbitrary bytes -- leave it alone
+        return df
     # scale the target to the row count (known from the same footer
     # probe): at ~600 rows/partition the per-task Arrow worker
     # handshake amortizes, while tiny corpora stop paying cores-many
