@@ -28,50 +28,23 @@ DECON_NGRAM = 13
 def _gram_rows(df, text_col, id_col, n, out_id):
     """(out_id, gram_sig) rows: md5-signed token n-grams.
 
-    r06 (2nd pass): tokenize + n-gram + md5 run in ONE Arrow python
-    stage (the same shape and rationale as ``passage_sig_rows`` -- the
+    r06 (2nd pass): delegates to ``dedup.passage_sig_rows`` -- the SAME
+    tokenize + n-gram + md5 Arrow python stage passage mining uses (the
     JVM regex engine on the measurement hardware is ~30x slower than
     CPython's and hard-ceilinged per JVM across threads, see
-    text_analysis._counts_stage).  ``gram_sig`` is the BINARY 16-byte
-    md5 -- hashlib over the same joined UTF-8 bytes is byte-identical
-    to the old ``md5(cast(... as binary))`` hex form modulo the hex
-    encoding, and the sig never reaches any output: both join sides
-    use this helper, so the join semantics are unchanged while the
-    broadcast ships half the bytes (VERDICT r05 #4's size concern).
-    Only (id, 16-byte sig) rows cross the boundary."""
-    import pyarrow as pa
+    text_analysis._counts_stage), just with ``n`` and output names of
+    the decontamination contract.  One shared kernel keeps the two
+    signature families from silently desynchronizing.  ``gram_sig`` is
+    the BINARY 16-byte md5 -- byte-identical to the old
+    ``md5(cast(... as binary))`` hex form modulo the hex encoding, and
+    the sig never reaches any output: both join sides use this helper,
+    so the join semantics are unchanged while the broadcast ships half
+    the bytes (VERDICT r05 #4's size concern)."""
+    from .dedup import passage_sig_rows
 
-    from .text_analysis import TOKEN_PATTERN
-
-    src = df.select(F.col(id_col).alias(out_id),
-                    F.col(text_col).alias('_text'))
-    id_ddl = src.schema[out_id].dataType.simpleString()
-
-    def gen(batches):
-        import hashlib
-        import re
-        tok_split = re.compile(TOKEN_PATTERN).split
-        md5 = hashlib.md5
-        for rb in batches:
-            ids = rb.column(0).to_pylist()
-            texts = rb.column(1).to_pylist()
-            out_ids, out_sigs = [], []
-            for did, t in zip(ids, texts):
-                if t is None:
-                    continue
-                toks = [x for x in tok_split(t) if x]
-                if len(toks) < n:
-                    continue
-                for i in range(len(toks) - n + 1):
-                    out_ids.append(did)
-                    out_sigs.append(md5(
-                        ' '.join(toks[i:i + n]).encode('utf-8')).digest())
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(out_ids, type=rb.column(0).type),
-                 pa.array(out_sigs, type=pa.binary())],
-                names=[out_id, 'gram_sig'])
-
-    return src.mapInArrow(gen, '%s %s, gram_sig binary' % (out_id, id_ddl))
+    return (passage_sig_rows(df, text_col=text_col, id_col=id_col, n=n)
+            .select(F.col('_id').alias(out_id),
+                    F.col('_sig').alias('gram_sig')))
 
 
 def benchmark_ngrams(bench_df, text_col='text', id_col='doc_id',

@@ -163,6 +163,12 @@ def jaccard_pairs(df, text_col='text', threshold=0.8):
 
 # -- MinHash-LSH --------------------------------------------------------------
 
+# max buffered output rows per yielded RecordBatch in the Arrow
+# explode stages (shingles, passage/gram sigs): bounds per-task python
+# memory the way the JVM Generate they replaced streamed in constant
+# space
+EXPLODE_FLUSH_ROWS = 1 << 16
+
 MINHASH_K = 32
 LSH_BANDS = 8
 LSH_ROWS = MINHASH_K // LSH_BANDS
@@ -231,16 +237,25 @@ def _shingle_stage(df, text_col, exploded):
             ids = rb.column(0).to_pylist()
             texts = rb.column(1).to_pylist()
             if exploded:
+                id_type = rb.column(0).type
                 out_ids, out_sh = [], []
                 for did, t in zip(ids, texts):
                     for s in _py_shingles(
                             [x for x in tok_split((t or '').lower()) if x]):
                         out_ids.append(did)
                         out_sh.append(s)
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array(out_ids, type=rb.column(0).type),
-                     pa.array(out_sh, type=pa.string())],
-                    names=['doc_id', 'sh'])
+                    # bound per-task memory (see EXPLODE_FLUSH_ROWS)
+                    if len(out_ids) >= EXPLODE_FLUSH_ROWS:
+                        yield pa.RecordBatch.from_arrays(
+                            [pa.array(out_ids, type=id_type),
+                             pa.array(out_sh, type=pa.string())],
+                            names=['doc_id', 'sh'])
+                        out_ids, out_sh = [], []
+                if out_ids:
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(out_ids, type=id_type),
+                         pa.array(out_sh, type=pa.string())],
+                        names=['doc_id', 'sh'])
             else:
                 shs = [_py_shingles(
                     [x for x in tok_split((t or '').lower()) if x])
@@ -630,11 +645,13 @@ def duplicated_passages(df, text_col='text', id_col='doc_id',
     >= ``min_docs`` distinct documents, with its document frequency and
     total occurrence count.
 
-    Plan: one JVM-side projection builds each doc's n-gram array
-    (``transform(sequence(...), slice(...))`` -- whole-stage codegen,
-    no Python), one explode, one hash-groupBy.  The passage STRING is
-    md5'd before the shuffle, so the wide op moves O(total tokens) rows
-    of (32-byte sig, doc_id), not ~10x-bigger n-gram text -- the
+    Plan (r06 2nd pass): ONE Arrow python stage tokenizes, windows and
+    md5s each document's passages (``passage_sig_rows`` -- the JVM
+    regex engine is slow and thread-ceilinged on the measurement
+    hardware, see ``text_analysis._counts_stage``), then one
+    hash-groupBy.  Passages are md5'd to BINARY 16-byte sigs before
+    the shuffle, so the wide op moves O(total tokens) rows of
+    (16-byte sig, doc_id), not ~10x-bigger n-gram text -- the
     linear-scan shape Lee et al.'s suffix-array approach also pays,
     without the global sort.  ``keep_example=True`` additionally
     carries a min() example passage through the aggregation (partial
@@ -643,15 +660,6 @@ def duplicated_passages(df, text_col='text', id_col='doc_id',
     with ``n_docs > 1`` from non-canonical docs is a broadcast-able
     join when the duplicated-passage table is small (it usually is:
     chrome and licenses), else a shuffle join on the sig.
-
-    The token array is materialized behind an ``explode(array(1))``
-    collapse barrier before the n-gram ``transform``: lambda bodies
-    are opaque to Catalyst subexpression elimination, so an inline
-    tokenizer expression would be re-evaluated once PER n-gram
-    position (the ~20x anti-pattern measured in ``shingles_col``'s
-    docstring and engineered around in ``gopher_repetition_flags``);
-    behind the barrier ``_toks`` is a bound attribute, tokenized once
-    per document.
     """
     rows = passage_sig_rows(df, text_col=text_col, id_col=id_col, n=n,
                             keep_passage=keep_example)
@@ -693,9 +701,20 @@ def passage_sig_rows(df, text_col='text', id_col='doc_id',
         tok_split = re.compile(TOKEN_PATTERN).split
         md5 = hashlib.md5
         for rb in batches:
+            id_type = rb.column(0).type
             ids = rb.column(0).to_pylist()
             texts = rb.column(1).to_pylist()
             out_ids, out_sigs, out_ps = [], [], []
+
+            def flush():
+                arrays = [pa.array(out_ids, type=id_type),
+                          pa.array(out_sigs, type=pa.binary())]
+                names = ['_id', '_sig']
+                if keep_passage:
+                    arrays.append(pa.array(out_ps, type=pa.string()))
+                    names.append('passage')
+                return pa.RecordBatch.from_arrays(arrays, names=names)
+
             for did, t in zip(ids, texts):
                 if t is None:
                     continue
@@ -708,13 +727,16 @@ def passage_sig_rows(df, text_col='text', id_col='doc_id',
                     out_sigs.append(md5(p.encode('utf-8')).digest())
                     if keep_passage:
                         out_ps.append(p)
-            arrays = [pa.array(out_ids, type=rb.column(0).type),
-                      pa.array(out_sigs, type=pa.binary())]
-            names = ['_id', '_sig']
-            if keep_passage:
-                arrays.append(pa.array(out_ps, type=pa.string()))
-                names.append('passage')
-            yield pa.RecordBatch.from_arrays(arrays, names=names)
+                # bound per-task memory: the JVM Generate this replaced
+                # streamed rows in constant space, so flush the fan-out
+                # instead of buffering an input batch's whole expansion
+                # (fat docs x 1024-row batches would hold millions of
+                # python objects at once)
+                if len(out_ids) >= EXPLODE_FLUSH_ROWS:
+                    yield flush()
+                    out_ids, out_sigs, out_ps = [], [], []
+            if out_ids:
+                yield flush()
 
     return src.mapInArrow(gen, out_ddl)
 

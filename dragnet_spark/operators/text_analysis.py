@@ -87,7 +87,7 @@ def quality_scores(df, text_col='text'):
     # _counts_stage); the ratio arithmetic below is the UNCHANGED
     # expression tree over the same integers, so every double is
     # bit-identical and the oracle hashes are untouched.
-    c = _counts_stage(df, text_col, lower=True, hits=True, alnum=True)
+    c = _counts_stage(df, text_col, lower=True, hits=('en',), alnum=True)
     n_chars = F.col('_n_chars')
     alnum_sp = F.col('_n_alnum_sp')
     n_tokens = F.col('_n_tokens_lower')
@@ -637,13 +637,18 @@ def _counts_stage(df, text_col='text', raw=False, lower=False, hits=False,
     """
     import pyarrow as pa
 
+    # hits: True = all STOPWORDS languages, or an iterable subset --
+    # the per-row python loop then intersects only what the caller
+    # consumes
+    hit_langs = (tuple(STOPWORDS) if hits is True
+                 else tuple(hits) if hits else ())
     fields = [('_n_chars', pa.int64())]
     if raw:
         fields += [('_n_tokens', pa.int64()), ('_n_distinct', pa.int64())]
     if lower:
         fields += [('_n_tokens_lower', pa.int64())]
-    if hits:
-        fields += [('_h_' + lang, pa.int64()) for lang in STOPWORDS]
+    if hit_langs:
+        fields += [('_h_' + lang, pa.int64()) for lang in hit_langs]
     if cjk:
         fields += [('_n_cjk', pa.int64())]
     if alnum:
@@ -664,7 +669,7 @@ def _counts_stage(df, text_col='text', raw=False, lower=False, hits=False,
         ['%s %s' % (c, ddl_types[c]) for c in pass_cols]
         + ['%s %s' % (name, 'string' if typ == pa.string() else 'bigint')
            for name, typ in fields])
-    stop_sets = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
+    stop_sets = {lang: frozenset(STOPWORDS[lang]) for lang in hit_langs}
     gopher_stop = frozenset(GOPHER_STOPWORDS)
     alnum_sp_set = frozenset(_ALNUM_SPACE)
 
@@ -688,14 +693,13 @@ def _counts_stage(df, text_col='text', raw=False, lower=False, hits=False,
                     toks = [x for x in tok_split(t) if x]
                     out['_n_tokens'].append(len(toks))
                     out['_n_distinct'].append(len(set(toks)))
-                if lower or hits or sigs:
+                if lower or hit_langs or sigs:
                     toksl = [x for x in tok_split(t.lower()) if x]
                     dt = set(toksl)
                 if lower:
                     out['_n_tokens_lower'].append(len(toksl))
-                if hits:
-                    for lang in STOPWORDS:
-                        out['_h_' + lang].append(len(dt & stop_sets[lang]))
+                for lang in hit_langs:
+                    out['_h_' + lang].append(len(dt & stop_sets[lang]))
                 if cjk:
                     out['_n_cjk'].append(len(cjk_re.findall(t)))
                 if alnum:

@@ -134,7 +134,7 @@ def spread_small_scan(spark, df, path, factor=1):
     # handshakes for a few thousand rows (sf0.1 A/B: simhash 1.08 s at
     # 32p -> 0.77 s at 8p, decontamination 1.17 -> 0.79; the 50 k-doc
     # corpus caps at cores either way)
-    target = par if rows is None else max(2, min(par, -(-rows // 600)))
+    target = max(2, min(par, -(-rows // 600)))
     if tasks >= target:
         return df
     return df.repartition(factor * target)
